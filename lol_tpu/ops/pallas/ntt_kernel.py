@@ -1,0 +1,296 @@
+"""Fused negacyclic NTT as Pallas TPU kernels.
+
+TPU-native equivalent of the reference's C++ CRT kernel (`lol-cpp
+.../crt.cpp`, p=2 path; SURVEY.md §3.3/§3.9 item 3).
+
+Design (TPU-first, tuned empirically on v5e):
+
+- **Coefficient-major layout**: kernels operate on (n, B) data —
+  coefficients along sublanes, a 128-wide batch slab along lanes.  Every
+  butterfly splits leading axes only, so no butterfly ever crosses the
+  128 lanes: zero lane shuffles (a row-major port of the classic SIMD NTT
+  would shuffle lanes in its last 7 stages).
+- **Bounded in-kernel values**: Mosaic allocates scoped-VMEM stack for
+  every live stage temporary, so fusing k stages over an (n, B) value
+  needs ~2k value-sized slots — at n=4096 that OOMs the 16MB scoped
+  limit.  The fix is structural: the radix-2 DIT network factors into
+    (A) the first S stages, which only combine indices j = c*tS + rho
+        with equal rho — i.e. a size-2^S NTT along axis 0 of the free
+        reshape (2^S, tS, B), gridded over rho-chunks;
+    (B) the last log2(tS) stages, which stay within contiguous tS-row
+        blocks — a size-tS NTT per block with per-block twiddle tables,
+        gridded over blocks.
+  Window tS <= 512 keeps every in-kernel value <= 512x128 (256KB), so
+  each call's scoped stack stays ~5MB no matter how large n is.  Two HBM
+  round-trips total (vs one per stage on the XLA path).
+- Twiddles ride lane-replicated ((rows,1) columns would pad to 128 lanes
+  anyway) and carry Shoup companions; kernel-side broadcasts are
+  sublane-only (Mosaic has no combined sublane+lane broadcast).
+- Arithmetic is the exact same `zq.mul_mod_shoup`/`add_mod`/`sub_mod`
+  u32 code the XLA path uses, and the two-call split applies the *same*
+  stage network, so results are bit-exact equal to the jnp/numpy paths.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ... import zq
+from ..ntt import NTTPlan
+
+DEFAULT_LANES = 128
+WINDOW = 512  # max rows of any in-kernel value; tS = min(n, WINDOW)
+
+
+def _lane_rep(v: np.ndarray, lanes: int) -> np.ndarray:
+    return np.broadcast_to(v[:, None], (v.shape[0], lanes)).copy()
+
+
+def _split(n: int) -> tuple[int, int, int]:
+    """-> (k, S, tS): k = log2 n; S cross-block stages; tS block rows."""
+    k = n.bit_length() - 1
+    tS = min(n, WINDOW)
+    S = k - (tS.bit_length() - 1)
+    return k, S, tS
+
+
+def _block_twiddles(plan: NTTPlan, inverse: bool) -> np.ndarray:
+    """(nblk, tS) per-block tables for the within-block stages.
+
+    Block b's table has the standard DIT layout: rows [2^sp, 2^(sp+1))
+    hold the local-stage-sp group twiddles, which for global stage
+    s = S+sp and block b are src[2^s + b*2^sp + i'] (the global group
+    index of row r in block b is b*2^sp + (r div 2t))."""
+    n = plan.n
+    k, S, tS = _split(n)
+    src = plan.ipsi_rev if inverse else plan.psi_rev
+    nblk = n // tS
+    T = np.zeros((nblk, tS), dtype=np.uint32)
+    for sp in range(k - S):
+        mp = 1 << sp
+        base = 1 << (S + sp)
+        for b in range(nblk):
+            T[b, mp : 2 * mp] = src[base + b * mp : base + (b + 1) * mp]
+    return T
+
+
+# --- stage networks over values (shapes static; axis 0 is transformed) -----
+
+
+def _wb(w, m, u_shape):
+    """Broadcast (m, lanes) group twiddles over u's (m, t, ..., lanes)."""
+    target = (m,) + tuple(1 for _ in u_shape[1:-1]) + (u_shape[-1],)
+    return jnp.broadcast_to(w.reshape(target), u_shape)
+
+
+def _ntt_net_fwd(x, q, nloc, read_w):
+    """DIT network along axis 0 (length nloc); trailing axes carried."""
+    kloc = nloc.bit_length() - 1
+    rest = x.shape[1:]
+    for s in range(kloc):
+        m = 1 << s
+        t = nloc >> (s + 1)
+        w, wsh = read_w(m, m)
+        xs = x.reshape(m, 2, t, *rest)
+        u = xs[:, 0]
+        v = zq.mul_mod_shoup(xs[:, 1], _wb(w, m, u.shape), _wb(wsh, m, u.shape), q)
+        x = jnp.stack([zq.add_mod(u, v, q), zq.sub_mod(u, v, q)], axis=1).reshape(
+            nloc, *rest
+        )
+    return x
+
+
+def _ntt_net_inv(x, q, nloc, read_w):
+    """GS inverse network along axis 0; stages high->low; no 1/n scale."""
+    kloc = nloc.bit_length() - 1
+    rest = x.shape[1:]
+    for s in reversed(range(kloc)):
+        h = 1 << s
+        t = nloc >> (s + 1)
+        w, wsh = read_w(h, h)
+        xs = x.reshape(h, 2, t, *rest)
+        u = xs[:, 0]
+        v = xs[:, 1]
+        d = zq.mul_mod_shoup(
+            zq.sub_mod(u, v, q), _wb(w, h, u.shape), _wb(wsh, h, u.shape), q
+        )
+        x = jnp.stack([zq.add_mod(u, v, q), d], axis=1).reshape(nloc, *rest)
+    return x
+
+
+# --- kernels ---------------------------------------------------------------
+
+
+def _kernel_cross(x_ref, w_ref, wsh_ref, o_ref, *, q, P, inverse, n_inv,
+                  n_inv_sh):
+    """Cross-block stages: block (P, G, lanes), NTT along axis 0.  The
+    first S global stages use group indices < P, so the twiddle tables
+    are just the plain DIT prefix psi_rev[:P]."""
+    x = x_ref[...]
+
+    def read_w(lo, m):
+        return w_ref[lo : lo + m, :], wsh_ref[lo : lo + m, :]
+
+    if inverse:
+        x = _ntt_net_inv(x, q, P, read_w)
+        x = zq.mul_mod_shoup(x, jnp.uint32(n_inv), jnp.uint32(n_inv_sh), q)
+    else:
+        x = _ntt_net_fwd(x, q, P, read_w)
+    o_ref[...] = x
+
+
+def _kernel_block(x_ref, w_ref, wsh_ref, o_ref, *, q, tS, inverse, n_inv,
+                  n_inv_sh):
+    """Within-block stages: block (1, tS, lanes), NTT along axis 1 with
+    this block's private twiddle table."""
+    x = x_ref[0]
+    w_all = w_ref[0]
+    wsh_all = wsh_ref[0]
+
+    def read_w(lo, m):
+        return w_all[lo : lo + m, :], wsh_all[lo : lo + m, :]
+
+    if inverse:
+        x = _ntt_net_inv(x, q, tS, read_w)
+        if n_inv is not None:
+            x = zq.mul_mod_shoup(x, jnp.uint32(n_inv), jnp.uint32(n_inv_sh), q)
+    else:
+        x = _ntt_net_fwd(x, q, tS, read_w)
+    o_ref[0] = x
+
+
+# --- builder ---------------------------------------------------------------
+
+
+@lru_cache(maxsize=512)
+def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool):
+    """Jitted (n, B) -> (n, B) column-major negacyclic NTT."""
+    n, q = plan.n, plan.q
+    k, S, tS = _split(n)
+    nblk = n // tS
+    P = 1 << S
+    G = max(1, WINDOW // P)
+
+    src, src_sh = (
+        (plan.ipsi_rev, plan.ipsi_rev_sh) if inverse else (plan.psi_rev, plan.psi_rev_sh)
+    )
+    wA = jnp.asarray(_lane_rep(src[:P], lanes))
+    wAs = jnp.asarray(_lane_rep(src_sh[:P], lanes))
+    TB = _block_twiddles(plan, inverse)
+    TBs = np.array(
+        [[zq.shoup(int(w), q) for w in row] for row in TB], dtype=np.uint32
+    )
+    wB = jnp.asarray(np.broadcast_to(TB[:, :, None], (nblk, tS, lanes)).copy())
+    wBs = jnp.asarray(np.broadcast_to(TBs[:, :, None], (nblk, tS, lanes)).copy())
+
+    scale_in_block = S == 0  # no cross call: fuse 1/n into the block call
+
+    def cross_call(x3):  # (P, tS, B)
+        B = x3.shape[-1]
+        kern = partial(
+            _kernel_cross, q=q, P=P, inverse=inverse,
+            n_inv=plan.n_inv, n_inv_sh=plan.n_inv_sh,
+        )
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((P, tS, B), jnp.uint32),
+            grid=(tS // G, B // lanes),
+            in_specs=[
+                pl.BlockSpec((P, G, lanes), lambda i, j: (0, i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, lanes), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, lanes), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((P, G, lanes), lambda i, j: (0, i, j),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=30 * n * S * lanes, bytes_accessed=8 * n * B,
+                transcendentals=0,
+            ),
+        )(x3, wA, wAs)
+
+    def block_call(x3):  # (nblk, tS, B)
+        B = x3.shape[-1]
+        kern = partial(
+            _kernel_block, q=q, tS=tS, inverse=inverse,
+            n_inv=plan.n_inv if scale_in_block else None,
+            n_inv_sh=plan.n_inv_sh if scale_in_block else None,
+        )
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((nblk, tS, B), jnp.uint32),
+            grid=(nblk, B // lanes),
+            in_specs=[
+                pl.BlockSpec((1, tS, lanes), lambda b, j: (b, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tS, lanes), lambda b, j: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tS, lanes), lambda b, j: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tS, lanes), lambda b, j: (b, 0, j),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=30 * n * (k - S) * lanes, bytes_accessed=8 * n * B,
+                transcendentals=0,
+            ),
+        )(x3, wB, wBs)
+
+    @jax.jit
+    def run(x):  # (n, B)
+        B = x.shape[1]
+        if not inverse:
+            if S > 0:
+                x = cross_call(x.reshape(P, tS, B))
+            x = block_call(x.reshape(nblk, tS, B))
+        else:
+            x = block_call(x.reshape(nblk, tS, B))
+            if S > 0:
+                x = cross_call(x.reshape(P, tS, B))
+        return x.reshape(n, B)
+
+    return run
+
+
+def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int = DEFAULT_LANES,
+           interpret: bool = False):
+    """Negacyclic NTT over axis 0 of a column-major (n, B) u32 array.
+
+    B must be a multiple of `lanes` (pad the batch axis; lanes=128 keeps
+    full vector-register occupancy)."""
+    n, B = x.shape
+    if n != plan.n:
+        raise ValueError(f"ntt_cm: x has n={n}, plan has n={plan.n}")
+    if B % lanes != 0:
+        raise ValueError(f"ntt_cm: batch {B} not a multiple of lanes={lanes}")
+    if n == 1:
+        return x
+    return _build(plan, inverse, lanes, interpret)(x)
+
+
+def ntt_batched(x, plan: NTTPlan, inverse: bool = False, interpret: bool = False):
+    """Row-major (..., n) convenience wrapper: transpose, kernel, transpose.
+
+    The transposes cost two extra HBM passes; hot paths should keep data
+    coefficient-major and call `ntt_cm` directly."""
+    batch = x.shape[:-1]
+    n = x.shape[-1]
+    flat = x.reshape(-1, n)
+    B = flat.shape[0]
+    pad = (-B) % DEFAULT_LANES
+    if pad:
+        flat = jnp.pad(flat, ((0, pad), (0, 0)))
+    out = ntt_cm(flat.T, plan, inverse=inverse, interpret=interpret).T
+    if pad:
+        out = out[:B]
+    return out.reshape(*batch, n)

@@ -1,0 +1,39 @@
+"""Pallas NTT kernel (interpreter mode on CPU) vs jnp/numpy paths — bit-exact."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from lol_tpu import numtheory as nt, zq
+from lol_tpu.ops import ntt
+from lol_tpu.ops.pallas import ntt_kernel as pk
+
+CASES = [(256, nt.ntt_primes(512, 30, 1)[0]), (1024, 12289)]
+
+
+@pytest.mark.parametrize("n,q", CASES)
+@pytest.mark.parametrize("inverse", [False, True])
+def test_pallas_matches_numpy(n, q, inverse, rng):
+    plan = ntt.ntt_plan(n, q)
+    B = 128
+    a = rng.integers(0, q, (B, n), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(pk.ntt_batched(jnp.asarray(a), plan, inverse=inverse, interpret=True))
+    want = ntt.np_ntt_inverse(a, plan) if inverse else ntt.np_ntt_forward(a, plan)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_cm_roundtrip(rng):
+    n, q = 256, 12289
+    plan = ntt.ntt_plan(n, q)
+    a = rng.integers(0, q, (n, 128), dtype=np.uint64).astype(np.uint32)
+    fwd = pk.ntt_cm(jnp.asarray(a), plan, interpret=True)
+    back = pk.ntt_cm(fwd, plan, inverse=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(back), a)
+
+
+def test_pallas_nonmultiple_batch_padding(rng):
+    n, q = 256, 12289
+    plan = ntt.ntt_plan(n, q)
+    a = rng.integers(0, q, (3, n), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(pk.ntt_batched(jnp.asarray(a), plan, interpret=True))
+    np.testing.assert_array_equal(got, ntt.np_ntt_forward(a, plan))
