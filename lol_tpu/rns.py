@@ -1,0 +1,154 @@
+"""RNS (residue number system) modulus chains.
+
+The reference represents a composite modulus q = q1*q2*... as a *tuple* of
+`ZqBasic` components with pair instances for Ring/Reduce/Lift/Rescale
+(SURVEY.md §3.2, "RNS via tuples"); dropping a tuple component is its exact
+modulus switch.  The TPU design makes the residue axis an explicit leading
+array axis: a mod-q ring element is a u32 array of shape (..., nrns, n),
+one residue channel per 30-bit prime, and every channel's kernels are
+specialized to that prime (the analog of the per-type-level-q instances).
+
+Host-side exact arithmetic (Python ints) lives here too: CRT
+reconstruction, centered lift, and the Garner mixed-radix data used by
+jnp-side lifts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import numtheory as nt
+from . import zq
+from .zq import Modulus
+
+
+@dataclass(frozen=True)
+class RnsBasis:
+    """An ordered chain of distinct co-prime moduli (q_0, ..., q_{L-1}).
+
+    Mirrors the reference's nested-tuple modulus; `drop_last()` is the
+    exact rescale/mod-switch step (Lol `Rescale (a,b) b`)."""
+
+    moduli: tuple[Modulus, ...]
+
+    def __post_init__(self):
+        qs = [m.q for m in self.moduli]
+        if len(set(qs)) != len(qs):
+            raise ValueError(f"RnsBasis: duplicate moduli {qs}")
+        for i, a in enumerate(qs):
+            for b in qs[i + 1 :]:
+                import math
+
+                if math.gcd(a, b) != 1:
+                    raise ValueError(f"RnsBasis: moduli {a}, {b} not coprime")
+
+    @property
+    def qs(self) -> tuple[int, ...]:
+        return tuple(m.q for m in self.moduli)
+
+    @property
+    def nrns(self) -> int:
+        return len(self.moduli)
+
+    @property
+    def modulus(self) -> int:
+        """The full composite modulus Q = prod q_i (Python int)."""
+        Q = 1
+        for m in self.moduli:
+            Q *= m.q
+        return Q
+
+    def drop_last(self) -> "RnsBasis":
+        if self.nrns < 2:
+            raise ValueError("RnsBasis.drop_last: need >= 2 moduli")
+        return RnsBasis(self.moduli[:-1])
+
+    # --- host-side exact conversions ---------------------------------
+    def to_rns(self, x) -> np.ndarray:
+        """Integer array (any shape, Python ints / object / int64)
+        -> uint32 residues with a leading rns axis: (nrns, *x.shape)."""
+        xa = np.asarray(x, dtype=object)
+        out = np.empty((self.nrns,) + xa.shape, dtype=np.uint32)
+        flat = xa.reshape(-1)
+        for i, m in enumerate(self.moduli):
+            out[i] = np.array(
+                [int(v) % m.q for v in flat], dtype=np.uint32
+            ).reshape(xa.shape)
+        return out
+
+    def from_rns(self, r: np.ndarray) -> np.ndarray:
+        """(nrns, ...) residues -> object array of ints in [0, Q)."""
+        r = np.asarray(r)
+        assert r.shape[0] == self.nrns, (r.shape, self.nrns)
+        flat = r.reshape(self.nrns, -1)
+        out = np.empty(flat.shape[1], dtype=object)
+        qs = list(self.qs)
+        for j in range(flat.shape[1]):
+            out[j] = nt.crt_reconstruct([int(v) for v in flat[:, j]], qs)
+        return out.reshape(r.shape[1:])
+
+    def lift_centered(self, r: np.ndarray) -> np.ndarray:
+        """(nrns, ...) residues -> object ints in [-Q/2, Q/2) (Lol Lift')."""
+        Q = self.modulus
+        x = self.from_rns(r)
+        flat = x.reshape(-1)
+        out = np.array(
+            [v - Q if v >= (Q + 1) // 2 else v for v in flat], dtype=object
+        )
+        return out.reshape(x.shape)
+
+    # --- jnp-side ops -------------------------------------------------
+    def add(self, a, b):
+        """Residue-wise modular add; rns axis is -2, coeff axis -1."""
+        return _chanwise(zq.add_mod, self, a, b)
+
+    def sub(self, a, b):
+        return _chanwise(zq.sub_mod, self, a, b)
+
+    def neg(self, a):
+        return _chan1(zq.neg_mod, self, a)
+
+    def mul(self, a, b):
+        return _chanwise(zq.mul_mod, self, a, b)
+
+    def rescale_drop_last(self, a, dec_basis: bool = False):
+        """Exact RNS modulus switch Q -> Q/q_last on (..., nrns, n) arrays.
+
+        b_i = (a_i - [a]_last) * q_last^{-1} mod q_i for i < last, where
+        [a]_last is the *centered* residue of a mod q_last (in
+        [-q_last/2, q_last/2), matching Lol's tuple Rescale via centered
+        Lift'): the result is the exact integer (a - [a]_last)/q_last
+        mod Q/q_last, i.e. round-to-nearest of a/q_last.
+        """
+        qs = self.qs
+        ql = qs[-1]
+        last = a[..., -1, :]
+        is_high = last >= jnp.uint32((ql + 1) // 2)
+        outs = []
+        for i, qi in enumerate(qs[:-1]):
+            inv = nt.modinv(ql % qi, qi)
+            # centered residue of a mod q_last, reduced into Z_qi
+            li = zq.reduce_mod(last, qi)
+            li = jnp.where(is_high, zq.sub_mod(li, jnp.uint32(ql % qi), qi), li)
+            d = zq.sub_mod(a[..., i, :], li, qi)
+            outs.append(zq.mul_mod(d, jnp.uint32(inv), qi))
+        return jnp.stack(outs, axis=-2)
+
+
+def _chanwise(op, basis: RnsBasis, a, b):
+    outs = [op(a[..., i, :], b[..., i, :], m.q) for i, m in enumerate(basis.moduli)]
+    return jnp.stack(outs, axis=-2)
+
+
+def _chan1(op, basis: RnsBasis, a):
+    outs = [op(a[..., i, :], m.q) for i, m in enumerate(basis.moduli)]
+    return jnp.stack(outs, axis=-2)
+
+
+@lru_cache(maxsize=256)
+def rns_basis(qs: tuple[int, ...]) -> RnsBasis:
+    return RnsBasis(tuple(zq.modulus(q) for q in qs))

@@ -111,6 +111,27 @@ def mul_mod(a, b, q: int, mu: int | None = None):
     return r
 
 
+def reduce_mod(x, q: int):
+    """x mod q for u32 x with x < 2^(2k), k = bitlength(q) (Barrett).
+
+    Used to re-reduce a residue from one RNS channel into another's
+    modulus; valid whenever x < q'^2-ish, in particular for any x < 2^30
+    against moduli q >= 2^15."""
+    k = q.bit_length()
+    if 2 * k < 30:
+        # tiny modulus: fall back to exact integer remainder (rare path)
+        return jnp.mod(x, jnp.uint32(q)).astype(jnp.uint32)
+    mu = jnp.uint32(barrett_mu(q))
+    qq = jnp.uint32(q)
+    t = x >> (k - 1)
+    qhi, qlo = mul32_wide(t, mu)
+    quot = (qhi << (31 - k)) | (qlo >> (k + 1))
+    r = x - quot * qq
+    r = jnp.where(r >= qq, r - qq, r)
+    r = jnp.where(r >= qq, r - qq, r)
+    return r
+
+
 def shoup(w: int, q: int) -> int:
     """Shoup companion word for constant w in [0, q): floor(w * 2^32 / q)."""
     return (int(w) << 32) // q
