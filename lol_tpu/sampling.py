@@ -1,0 +1,90 @@
+"""Randomness: uniform ring elements, discrete (rounded) Gaussians.
+
+Reference: `lol/Crypto/Lol/GaussRandom.hs` (Box-Muller real Gaussians) +
+`Tensor.tweakedGaussianDec` + `UCyc.errorRounded` (SURVEY.md §3.2/§3.5).
+
+TPU design: all randomness flows from jax.random (threefry) keys —
+deterministic, splittable, identical across backends/platforms for a
+fixed key, which is what makes cross-backend bit-exact test vectors
+possible (SURVEY.md §8 determinism requirement).  Box-Muller is replaced
+by jax.random.normal (erf-inversion) — same distribution, TPU-native.
+
+Convention: for 2-power m the decoding basis equals the powerful basis
+and is orthogonal (up to a uniform sqrt(n) scale) in the canonical
+embedding, so `gaussian_dec(var=v)` samples iid N(0, v) *coefficients* —
+matching the usual power-of-2 RLWE practice.  General m applies the
+real inverse-CRT mixing matrix (with ops/general.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ring as rg
+from .cyc import Cyc, Rep
+from .ring import RingContext
+
+
+def uniform(ctx: RingContext, key, batch: tuple[int, ...] = ()) -> Cyc:
+    """Uniform element of R_q in the CRT basis (uniform in any basis)."""
+    keys = jax.random.split(key, ctx.nrns)
+    chans = [
+        jax.random.randint(
+            keys[i], (*batch, ctx.n), 0, q, dtype=jnp.uint32
+        )
+        for i, q in enumerate(ctx.basis.qs)
+    ]
+    return Cyc(ctx, Rep.CRT, jnp.stack(chans, axis=-2))
+
+
+def real_gaussians(key, var: float, shape) -> jnp.ndarray:
+    """Continuous spherical Gaussians, variance `var` (Lol realGaussians)."""
+    return jax.random.normal(key, shape, dtype=jnp.float32) * jnp.sqrt(
+        jnp.float32(var)
+    )
+
+
+def gaussian_dec_ints(ctx: RingContext, key, var: float,
+                      batch: tuple[int, ...] = ()) -> jnp.ndarray:
+    """Rounded decoding-basis Gaussian as signed int32 coefficients
+    (Lol tweakedGaussianDec + errorRounded)."""
+    if not ctx.fm.is_pow2():
+        raise NotImplementedError("general-m tweaked gaussian: ops/general.py")
+    g = real_gaussians(key, var, (*batch, ctx.n))
+    return jnp.round(g).astype(jnp.int32)
+
+
+def _ints_to_rns(ctx: RingContext, x: jnp.ndarray) -> jnp.ndarray:
+    """Signed int32 coefficients -> (..., nrns, n) residues."""
+    chans = []
+    for q in ctx.basis.qs:
+        r = jnp.mod(x, q).astype(jnp.uint32)  # python-mod: result in [0, q)
+        chans.append(r)
+    return jnp.stack(chans, axis=-2)
+
+
+def gaussian_cyc(ctx: RingContext, key, var: float,
+                 batch: tuple[int, ...] = ()) -> Cyc:
+    """Discrete-Gaussian error element in the decoding basis."""
+    ints = gaussian_dec_ints(ctx, key, var, batch)
+    return Cyc(ctx, Rep.DEC, _ints_to_rns(ctx, ints))
+
+
+def gaussian_ints_np(ctx_or_n, key, var: float) -> np.ndarray:
+    """Host copy of the sampled integers (for secrets kept as ints)."""
+    if isinstance(ctx_or_n, RingContext):
+        n = ctx_or_n.n
+        ctx = ctx_or_n
+        return np.asarray(gaussian_dec_ints(ctx, key, var))
+    raise TypeError
+
+
+def error_coset(ctx: RingContext, key, var: float, coset: Cyc) -> Cyc:
+    """Sample from coset + p*Gaussian-ish: Lol errorCoset samples an error
+    congruent to `coset` (a mod-p element embedded): here: coset + p*e.
+
+    Used by encrypt: the encrypted message rides as the coset of the
+    error."""
+    raise NotImplementedError("use she.encrypt's explicit m + p*e form")

@@ -1,0 +1,160 @@
+"""Cyc-layer algebraic identities — Lol CycTests/TensorTests analog (SURVEY §5.1)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lol_tpu import numtheory as nt, sampling
+from lol_tpu.cyc import Cyc, Rep
+from lol_tpu.ops import ntt
+from lol_tpu.ring import ring_context
+import lol_tpu.ring as rg
+
+QS = tuple(nt.ntt_primes(512, 30, 3))
+CTX = ring_context(256 * 2, QS)  # m=512, n=256
+CTX1 = ring_context(512, QS[:1])
+
+
+def rand_cyc(rng, ctx, rep=Rep.POW):
+    ints = rng.integers(-1000, 1000, ctx.n)
+    return Cyc.from_ints(ctx, ints, rep), ints
+
+
+def test_ring_laws(rng):
+    a, _ = rand_cyc(rng, CTX)
+    b, _ = rand_cyc(rng, CTX)
+    c, _ = rand_cyc(rng, CTX)
+    assert (a + b) == (b + a)
+    assert ((a + b) + c) == (a + (b + c))
+    assert (a * b) == (b * a)
+    assert (a * (b + c)) == (a * b + a * c)
+    one = Cyc.scalar(CTX, 1)
+    assert (a * one).to_pow() == a
+    assert (a - a) == Cyc.zero(CTX)
+
+
+def test_mul_matches_schoolbook(rng):
+    ctx = ring_context(32, QS[:2])  # n = 16
+    a_ints = rng.integers(-50, 50, ctx.n)
+    b_ints = rng.integers(-50, 50, ctx.n)
+    a = Cyc.from_ints(ctx, a_ints)
+    b = Cyc.from_ints(ctx, b_ints)
+    prod = (a * b).to_pow()
+    for i, q in enumerate(ctx.basis.qs):
+        want = ntt.np_negacyclic_mul_schoolbook(
+            (a_ints % q).astype(np.uint32), (b_ints % q).astype(np.uint32), q
+        )
+        np.testing.assert_array_equal(np.asarray(prod.data)[i], want)
+
+
+def test_rep_roundtrips(rng):
+    a, _ = rand_cyc(rng, CTX)
+    assert a.to_crt().to_pow() == a
+    assert a.to_dec().to_pow() == a
+    assert a.to_crt().to_dec().to_crt().to_pow() == a
+
+
+def test_scalar_and_int_ops(rng):
+    a, _ = rand_cyc(rng, CTX)
+    assert (a + 5) - 5 == a
+    assert a * 3 == a + a + a
+
+
+def test_lift_reduce_roundtrip(rng):
+    a_ints = rng.integers(-1000, 1000, CTX.n)
+    a = Cyc.from_ints(CTX, a_ints)
+    lifted = a.lift_ints()
+    np.testing.assert_array_equal(
+        np.array([int(v) for v in lifted]), a_ints
+    )
+
+
+def test_embed_twace_identity(rng):
+    sub = ring_context(64, QS)
+    a, _ = rand_cyc(rng, sub)
+    emb = a.embed(CTX)
+    back = emb.twace(sub)
+    assert back == a
+    # CRT-basis embed agrees with POW-basis embed
+    emb_crt = a.to_crt().embed(CTX)
+    assert emb_crt.to_pow() == emb.to_pow()
+    # CRT twace of CRT embed is identity too
+    assert emb_crt.twace(sub).to_pow() == a
+
+
+def test_embed_is_ring_hom(rng):
+    sub = ring_context(64, QS)
+    a, _ = rand_cyc(rng, sub)
+    b, _ = rand_cyc(rng, sub)
+    assert (a * b).embed(CTX).to_pow() == (a.embed(CTX) * b.embed(CTX)).to_pow()
+    assert (a + b).embed(CTX).to_pow() == (a.embed(CTX) + b.embed(CTX)).to_pow()
+
+
+def test_twace_embed_tower_compat():
+    # canonical plan roots are tower-compatible: psi_{2n}^d == psi_{2n'}
+    q = QS[0]
+    p_big = ntt.ntt_plan(256, q)
+    p_small = ntt.ntt_plan(32, q)
+    assert pow(p_big.psi, 256 // 32, q) == p_small.psi
+
+
+def test_coeffs_reconstruction(rng):
+    sub = ring_context(64, QS)
+    a, _ = rand_cyc(rng, CTX)
+    cs = a.coeffs(sub)
+    assert len(cs) == CTX.n // sub.n
+    # x == sum_i x^i * embed(coeff_i)
+    acc = Cyc.zero(CTX)
+    for i, ci in enumerate(cs):
+        mono = np.zeros(CTX.n, dtype=np.int64)
+        mono[i] = 1
+        acc = acc + Cyc.from_ints(CTX, mono) * ci.embed(CTX)
+    assert acc.to_pow() == a.to_pow()
+
+
+def test_twace_of_embed_product(rng):
+    # twace(embed(a) * b) == a * twace(b)  (Tw is an R_{m'}-module map)
+    sub = ring_context(64, QS)
+    a, _ = rand_cyc(rng, sub)
+    b, _ = rand_cyc(rng, CTX)
+    lhs = (a.embed(CTX) * b).twace(sub)
+    rhs = a * b.twace(sub)
+    assert lhs.to_pow() == rhs.to_pow()
+
+
+def test_uniform_and_gaussian_deterministic():
+    key = jax.random.PRNGKey(7)
+    u1 = sampling.uniform(CTX, key)
+    u2 = sampling.uniform(CTX, key)
+    assert u1 == u2
+    g1 = sampling.gaussian_cyc(CTX, key, 9.0)
+    g2 = sampling.gaussian_cyc(CTX, key, 9.0)
+    assert g1 == g2
+    ints = np.asarray(sampling.gaussian_dec_ints(CTX, key, 9.0))
+    assert abs(float(np.mean(ints))) < 2.0
+    assert 1.0 < float(np.std(ints)) < 6.0
+
+
+def test_cross_ring_op_rejected(rng):
+    a, _ = rand_cyc(rng, CTX)
+    b, _ = rand_cyc(rng, ring_context(64, QS))
+    with pytest.raises(ValueError):
+        _ = a + b
+
+
+def test_rescale_cyc(rng):
+    a_ints = rng.integers(-10**6, 10**6, CTX.n)
+    a = Cyc.from_ints(CTX, a_ints)
+    r = a.rescale_drop_last()
+    assert r.ctx.basis.qs == QS[:-1]
+    ql = QS[-1]
+    lifted = r.lift_ints()
+    for got, v in zip(lifted, a_ints):
+        want = (int(v) - _centered(int(v), ql)) // ql
+        assert int(got) == want
+
+
+def _centered(v, q):
+    r = v % q
+    return r - q if r >= (q + 1) // 2 else r
