@@ -1,0 +1,424 @@
+"""L6 — BGV-style symmetric somewhat-homomorphic encryption.
+
+Analog of `lol-apps/Crypto/Lol/Applications/SymmSHE.hs` (SURVEY.md §3.6):
+SK / PT / CT types and genSK, encrypt, decrypt, errorTerm, homomorphic
+add / mul, addPublic / mulPublic, key switching (linear & quadratic hints,
+gadget-encoded), exact RNS modulus switching, modSwitchPT, embedSK /
+embedCT / twaceCT; ring tunneling lands with linear.py.
+
+Scheme conventions (LSD / "lsb" encoding, matching the reference's
+default):
+  c(s) = sum_i c_i s^i  satisfies  c(s) = f*m + p*e  (mod Q)
+with message m in R_p, error e, and a tracked scale factor f in Z_p^*
+(the accumulated q_last^{-1} factors from modulus switches — the
+reference's LSD scale `k`).  Decrypt: centered-lift c(s), reduce mod p,
+multiply by f^{-1}.  For 2-power m the reference's m-hat and g factors
+are 1, so they don't appear; the fields are kept for general m.
+
+All ciphertext component arithmetic is Cyc arithmetic: NTT-domain
+Hadamards on the TPU hot path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import gadget as gd
+from . import numtheory as nt
+from . import ring as rg
+from . import sampling
+from .cyc import Cyc, Rep
+from .ring import RingContext, ring_context
+
+
+# ---------------------------------------------------------------------------
+# parameters / keys / plaintexts
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SHEParams:
+    """Concrete parameter stack (the analog of Lol's type-level wiring)."""
+
+    m: int  # cyclotomic index (2-power for now)
+    p: int  # plaintext modulus, coprime to every q
+    qs: tuple[int, ...]  # ciphertext RNS chain (NTT primes for m)
+    var: float = 9.0  # error variance
+
+    def __post_init__(self):
+        import math
+
+        for q in self.qs:
+            if math.gcd(self.p, q) != 1:
+                raise ValueError(f"p={self.p} not coprime to q={q}")
+
+    @property
+    def ctx(self) -> RingContext:
+        return ring_context(self.m, self.qs)
+
+
+@dataclass(frozen=True)
+class SK:
+    """Secret key: integer coefficients (host) + variance (Lol SK)."""
+
+    params: SHEParams
+    s_ints: np.ndarray  # (n,) int64, small
+    var: float
+
+    def s_cyc(self, ctx: RingContext) -> Cyc:
+        return Cyc.from_ints(ctx, self.s_ints).to_crt()
+
+
+@dataclass(frozen=True)
+class CT:
+    """Ciphertext: components c_i with c(s) = f*m + p*e (mod Q)."""
+
+    params: SHEParams
+    ctx: RingContext  # current ring/modulus (changes under mod/ring switch)
+    cs: tuple[Cyc, ...]
+    f: int = 1  # scale factor in Z_p^* (Lol's LSD scale)
+
+    @property
+    def degree(self) -> int:
+        return len(self.cs) - 1
+
+
+def pt_random(params: SHEParams, rng) -> np.ndarray:
+    n = params.ctx.n
+    return rng.integers(0, params.p, n).astype(np.int64)
+
+
+def pt_mul(params: SHEParams, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Plaintext ring product in R_p = Z_p[x]/(x^n+1) (exact, host).
+
+    O(n^2) int64 negacyclic convolution; intermediate values bounded by
+    n*p^2 (< 2^62 for p <= 2^16, n <= 2^14)."""
+    n = params.ctx.n
+    p = params.p
+    a = np.asarray(a, dtype=np.int64) % p
+    b = np.asarray(b, dtype=np.int64) % p
+    out = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        ai = int(a[i])
+        if ai == 0:
+            continue
+        out[i:] += ai * b[: n - i]
+        out[:i] -= ai * b[n - i :]
+    return out % p
+
+
+def pt_add(params: SHEParams, a, b) -> np.ndarray:
+    return (np.asarray(a, dtype=np.int64) + np.asarray(b)) % params.p
+
+
+# ---------------------------------------------------------------------------
+# keygen / encrypt / decrypt
+# ---------------------------------------------------------------------------
+
+
+def gen_sk(params: SHEParams, key) -> SK:
+    """Sample s from the (tweaked) discrete Gaussian (Lol genSK)."""
+    s = np.asarray(
+        sampling.gaussian_dec_ints(params.ctx, key, params.var), dtype=np.int64
+    )
+    return SK(params, s, params.var)
+
+
+def encrypt(sk: SK, m_ints: np.ndarray, key) -> CT:
+    """LSD encryption: c1 uniform, c0 = (m + p*e) - c1*s (Lol encrypt)."""
+    params = sk.params
+    ctx = params.ctx
+    k_err, k_unif = jax.random.split(key)
+    e = np.asarray(
+        sampling.gaussian_dec_ints(ctx, k_err, params.var), dtype=np.int64
+    )
+    msg_err = Cyc.from_ints(ctx, np.asarray(m_ints, dtype=np.int64) + params.p * e)
+    c1 = sampling.uniform(ctx, k_unif)
+    c0 = msg_err - c1 * sk.s_cyc(ctx)
+    return CT(params, ctx, (c0, c1), f=1)
+
+
+def _eval_at_s(sk: SK, ct: CT) -> Cyc:
+    """c(s) = sum c_i s^i via Horner in the CRT domain."""
+    s = sk.s_cyc(ct.ctx)
+    acc = ct.cs[-1].to_crt()
+    for c in reversed(ct.cs[:-1]):
+        acc = acc * s + c.to_crt()
+    return acc
+
+
+def decrypt(sk: SK, ct: CT) -> np.ndarray:
+    """Centered lift of c(s), reduce mod p, undo the scale factor f."""
+    d = _eval_at_s(sk, ct).lift_ints()  # object ints, centered
+    p = ct.params.p
+    finv = nt.modinv(ct.f, p)
+    return np.array([(int(v) % p) * finv % p for v in d.reshape(-1)],
+                    dtype=np.int64).reshape(d.shape)
+
+
+def error_term(sk: SK, ct: CT) -> np.ndarray:
+    """The integer noise e with c(s) = f*m + p*e (Lol errorTerm):
+    e = (lift(c(s)) - centered_mod_p(lift)) / p, coefficientwise."""
+    d = _eval_at_s(sk, ct).lift_ints()
+    p = ct.params.p
+    out = []
+    for v in d.reshape(-1):
+        v = int(v)
+        mu = v % p
+        if mu >= (p + 1) // 2:
+            mu -= p
+        out.append((v - mu) // p)
+    return np.array(out, dtype=object).reshape(d.shape)
+
+
+def noise_bits(sk: SK, ct: CT) -> float:
+    """log2 of the max |noise| — headroom tracking for tests/benches."""
+    e = error_term(sk, ct)
+    mx = max(abs(int(v)) for v in e.reshape(-1))
+    return float(np.log2(mx)) if mx else 0.0
+
+
+# ---------------------------------------------------------------------------
+# homomorphic ops
+# ---------------------------------------------------------------------------
+
+
+def _align(a: CT, b: CT) -> tuple[CT, CT]:
+    if a.ctx != b.ctx:
+        raise ValueError("CT op across different rings/moduli")
+    if a.f == b.f:
+        return a, b
+    p = a.params.p
+    # scale b's components by u = f_a * f_b^-1 (centered lift, |u| <= p/2)
+    u = a.f * nt.modinv(b.f, p) % p
+    if u >= (p + 1) // 2:
+        u -= p
+    cs = tuple(c * int(u) for c in b.cs)
+    return a, CT(b.params, b.ctx, cs, f=a.f)
+
+
+def ct_add(a: CT, b: CT) -> CT:
+    a, b = _align(a, b)
+    la, lb = list(a.cs), list(b.cs)
+    while len(la) < len(lb):
+        la.append(Cyc.zero(a.ctx))
+    while len(lb) < len(la):
+        lb.append(Cyc.zero(a.ctx))
+    return CT(a.params, a.ctx, tuple(x + y for x, y in zip(la, lb)), f=a.f)
+
+
+def ct_sub(a: CT, b: CT) -> CT:
+    a, b = _align(a, b)
+    nb = CT(b.params, b.ctx, tuple(-c for c in b.cs), f=b.f)
+    return ct_add(a, nb)
+
+
+def ct_mul(a: CT, b: CT) -> CT:
+    """Component-list convolution: degree grows (Lol CT (*))."""
+    if a.ctx != b.ctx:
+        raise ValueError("CT mul across different rings/moduli")
+    ca = [c.to_crt() for c in a.cs]
+    cb = [c.to_crt() for c in b.cs]
+    out = [Cyc.zero(a.ctx).to_crt() for _ in range(len(ca) + len(cb) - 1)]
+    for i, x in enumerate(ca):
+        for j, y in enumerate(cb):
+            out[i + j] = out[i + j] + x * y
+    f = a.f * b.f % a.params.p
+    return CT(a.params, a.ctx, tuple(out), f=f)
+
+
+def add_public(ct: CT, m_pub: np.ndarray) -> CT:
+    """ct + m_pub (Lol addPublic): add f*m_pub to c0."""
+    enc = Cyc.from_ints(
+        ct.ctx, (np.asarray(m_pub, dtype=np.int64) * ct.f) % ct.params.p
+    )
+    cs = (ct.cs[0] + enc,) + ct.cs[1:]
+    return CT(ct.params, ct.ctx, cs, f=ct.f)
+
+
+def mul_public(ct: CT, m_pub: np.ndarray) -> CT:
+    """ct * m_pub (Lol mulPublic): multiply every component by the
+    centered-lifted public plaintext."""
+    p = ct.params.p
+    lifted = np.asarray(m_pub, dtype=np.int64) % p
+    lifted = np.where(lifted >= (p + 1) // 2, lifted - p, lifted)
+    mc = Cyc.from_ints(ct.ctx, lifted).to_crt()
+    return CT(ct.params, ct.ctx, tuple(c * mc for c in ct.cs), f=ct.f)
+
+
+# ---------------------------------------------------------------------------
+# key switching (Lol KSLinearHint / KSQuadCircHint)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class KSHint:
+    """Gadget-encoded encryptions of a target element t under s:
+    hint_j = (h0_j, h1_j), h0_j = -a_j s + p e_j + g_j t  (all CRT)."""
+
+    params: SHEParams
+    ctx: RingContext
+    spec: gd.GadgetSpec
+    h0: tuple[Cyc, ...]
+    h1: tuple[Cyc, ...]
+
+
+def _ks_hint(sk: SK, target: Cyc, spec: gd.GadgetSpec, key) -> KSHint:
+    params = sk.params
+    ctx = params.ctx
+    g = gd.gadget_ints(spec, ctx.basis)
+    s = sk.s_cyc(ctx)
+    h0, h1 = [], []
+    for j, gj in enumerate(g):
+        key, k_a, k_e = jax.random.split(key, 3)
+        a_j = sampling.uniform(ctx, k_a)
+        e_j = np.asarray(
+            sampling.gaussian_dec_ints(ctx, k_e, params.var), dtype=np.int64
+        )
+        pe = Cyc.from_ints(ctx, params.p * e_j).to_crt()
+        gt = target.to_crt() * _scalar_crt(ctx, gj)
+        h0.append((pe + gt - a_j * s).to_crt())
+        h1.append(a_j.to_crt())
+    return KSHint(params, ctx, spec, tuple(h0), tuple(h1))
+
+
+def _scalar_crt(ctx: RingContext, c: int) -> Cyc:
+    return Cyc.scalar(ctx, c).to_crt()
+
+
+def ks_linear_hint(s_new: SK, s_old: SK, spec: gd.GadgetSpec, key) -> KSHint:
+    """Hint re-encrypting ciphertexts under s_old to s_new (Lol
+    ksLinearHint)."""
+    tgt = Cyc.from_ints(s_new.params.ctx, s_old.s_ints)
+    return _ks_hint(s_new, tgt, spec, key)
+
+
+def ks_quad_circ_hint(sk: SK, spec: gd.GadgetSpec, key) -> KSHint:
+    """Hint for relinearizing the s^2 component (Lol ksQuadCircHint)."""
+    ctx = sk.params.ctx
+    s2 = (sk.s_cyc(ctx) * sk.s_cyc(ctx)).to_crt()
+    return _ks_hint(sk, s2, spec, key)
+
+
+def _ks_inner(hint: KSHint, c: Cyc) -> tuple[Cyc, Cyc]:
+    """sum_j digit_j(c) * hint_j — the gadget inner product."""
+    ctx = hint.ctx
+    digits = gd.decompose(hint.spec, ctx.basis, c.to_pow().data)
+    acc0 = Cyc.zero(ctx).to_crt()
+    acc1 = Cyc.zero(ctx).to_crt()
+    for j in range(digits.shape[0]):
+        dj = Cyc(ctx, Rep.POW, digits[j]).to_crt()
+        acc0 = acc0 + dj * hint.h0[j]
+        acc1 = acc1 + dj * hint.h1[j]
+    return acc0, acc1
+
+
+def key_switch_linear(hint: KSHint, ct: CT) -> CT:
+    """Re-encrypt a 2-component ct from s_old to s_new (Lol
+    keySwitchLinear)."""
+    if ct.degree != 1:
+        raise ValueError("key_switch_linear: need a linear (2-comp) ct")
+    b0, b1 = _ks_inner(hint, ct.cs[1])
+    return CT(ct.params, ct.ctx, (ct.cs[0].to_crt() + b0, b1), f=ct.f)
+
+
+def key_switch_quad_circ(hint: KSHint, ct: CT) -> CT:
+    """Relinearize a quadratic (3-component) ct (Lol keySwitchQuadCirc)."""
+    if ct.degree != 2:
+        raise ValueError("key_switch_quad_circ: need a quadratic ct")
+    b0, b1 = _ks_inner(hint, ct.cs[2])
+    cs = (ct.cs[0].to_crt() + b0, ct.cs[1].to_crt() + b1)
+    return CT(ct.params, ct.ctx, cs, f=ct.f)
+
+
+# ---------------------------------------------------------------------------
+# modulus switching (Lol modSwitch / rescaleLinearCT; exact RNS drop)
+# ---------------------------------------------------------------------------
+
+
+def mod_switch(ct: CT) -> CT:
+    """Drop the last RNS residue: exact BGV rescale.  Correction term is
+    p * centered([c * p^-1]_{q_last}) so the message is preserved mod p;
+    the scale factor picks up q_last^{-1} mod p."""
+    ctx = ct.ctx
+    p = ct.params.p
+    ql = ctx.basis.qs[-1]
+    ctx2 = ring_context(ctx.m, ctx.basis.qs[:-1])
+    cs2 = []
+    for c in ct.cs:
+        cs2.append(
+            Cyc(ctx2, Rep.POW, _bgv_rescale(ctx, c.to_pow().data, p))
+        )
+    # c'(s) = (c(s) - delta)/ql with delta = 0 mod p, so
+    # c'(s) = ql^{-1} f m (mod p): the factor picks up ql^{-1}.
+    f2 = ct.f * nt.modinv(ql % p, p) % p
+    new_params = replace(ct.params, qs=ctx2.basis.qs)
+    return CT(new_params, ctx2, tuple(cs2), f=f2)
+
+
+def _bgv_rescale(ctx: RingContext, a, p: int):
+    """(a - p*centered([a p^-1]_{q_last})) / q_last over the RNS prefix."""
+    from . import zq
+
+    qs = ctx.basis.qs
+    ql = qs[-1]
+    pinv_l = nt.modinv(p % ql, ql)
+    last = a[..., -1, :]
+    v = zq.mul_mod(last, jnp.uint32(pinv_l), ql)  # [a p^-1]_{ql}
+    is_high = v >= jnp.uint32((ql + 1) // 2)
+    outs = []
+    for i, qi in enumerate(qs[:-1]):
+        inv = nt.modinv(ql % qi, qi)
+        vi = zq.reduce_mod(v, qi)
+        vi = jnp.where(is_high, zq.sub_mod(vi, jnp.uint32(ql % qi), qi), vi)
+        delta = zq.mul_mod(vi, jnp.uint32(p % qi), qi)
+        d = zq.sub_mod(a[..., i, :], delta, qi)
+        outs.append(zq.mul_mod(d, jnp.uint32(inv), qi))
+    return jnp.stack(outs, axis=-2)
+
+
+def mod_switch_pt(ct: CT, p_new: int) -> CT:
+    """Change plaintext modulus p -> p' with p' | p (Lol modSwitchPT):
+    the same ciphertext decrypts mod p' (error absorbs the rest)."""
+    if ct.params.p % p_new != 0:
+        raise ValueError("mod_switch_pt: p' must divide p")
+    new_params = replace(ct.params, p=p_new)
+    return CT(new_params, ct.ctx, ct.cs, f=ct.f % p_new)
+
+
+# ---------------------------------------------------------------------------
+# ring switching (Lol embedSK / embedCT / twaceCT)
+# ---------------------------------------------------------------------------
+
+
+def embed_sk(sk: SK, m_sup: int) -> SK:
+    """SK of the subring viewed in the larger ring (Lol embedSK)."""
+    params = sk.params
+    sub = params.ctx
+    sup = ring_context(m_sup, params.qs)
+    emb = Cyc.from_ints(sub, sk.s_ints).embed(sup)
+    s_ints = np.array([int(v) for v in emb.lift_ints()], dtype=np.int64)
+    new_params = replace(params, m=m_sup)
+    return SK(new_params, s_ints, sk.var)
+
+
+def embed_ct(ct: CT, m_sup: int) -> CT:
+    """View a ciphertext in a larger ring (Lol embedCT); decrypts under
+    the embedded SK."""
+    sup = ring_context(m_sup, ct.params.qs)
+    cs = tuple(c.embed(sup) for c in ct.cs)
+    new_params = replace(ct.params, m=m_sup)
+    return CT(new_params, sup, cs, f=ct.f)
+
+
+def twace_ct(ct: CT, m_sub: int) -> CT:
+    """Tweaked-trace a ciphertext down to a subring (Lol twaceCT); valid
+    when the SK lives in the subring."""
+    sub = ring_context(m_sub, ct.params.qs)
+    cs = tuple(c.twace(sub) for c in ct.cs)
+    new_params = replace(ct.params, m=m_sub)
+    return CT(new_params, sub, cs, f=ct.f)

@@ -1,0 +1,163 @@
+"""SHE correctness properties — Lol SHETests analog (SURVEY.md §5.3)."""
+
+import numpy as np
+import pytest
+import jax
+
+from lol_tpu import gadget as gd
+from lol_tpu import numtheory as nt
+from lol_tpu import she
+
+M = 64  # n = 32: small-but-real (Lol-style concrete param stack)
+QS = tuple(nt.ntt_primes(512, 30, 3))  # support the m=64..256 tower
+PARAMS = she.SHEParams(m=M, p=257, qs=QS, var=4.0)
+PARAMS_P2 = she.SHEParams(m=M, p=2, qs=QS, var=4.0)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(42)
+    ks, k1, k2, k3, kh, kh2 = jax.random.split(key, 6)
+    sk = she.gen_sk(PARAMS, ks)
+    return sk, (k1, k2, k3, kh, kh2)
+
+
+@pytest.mark.parametrize("params", [PARAMS, PARAMS_P2])
+def test_encrypt_decrypt_roundtrip(params, rng):
+    key = jax.random.PRNGKey(1)
+    sk = she.gen_sk(params, key)
+    m = she.pt_random(params, rng)
+    ct = she.encrypt(sk, m, jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(she.decrypt(sk, ct), m)
+
+
+def test_homomorphic_add_sub(setup, rng):
+    sk, (k1, k2, *_) = setup
+    m1, m2 = she.pt_random(PARAMS, rng), she.pt_random(PARAMS, rng)
+    c1, c2 = she.encrypt(sk, m1, k1), she.encrypt(sk, m2, k2)
+    np.testing.assert_array_equal(
+        she.decrypt(sk, she.ct_add(c1, c2)), she.pt_add(PARAMS, m1, m2)
+    )
+    np.testing.assert_array_equal(
+        she.decrypt(sk, she.ct_sub(c1, c2)), (m1 - m2) % PARAMS.p
+    )
+
+
+def test_homomorphic_mul(setup, rng):
+    sk, (k1, k2, *_) = setup
+    m1, m2 = she.pt_random(PARAMS, rng), she.pt_random(PARAMS, rng)
+    c1, c2 = she.encrypt(sk, m1, k1), she.encrypt(sk, m2, k2)
+    prod = she.ct_mul(c1, c2)
+    assert prod.degree == 2
+    np.testing.assert_array_equal(
+        she.decrypt(sk, prod), she.pt_mul(PARAMS, m1, m2)
+    )
+
+
+@pytest.mark.parametrize("spec", [gd.RnsGad(), gd.BaseBGad(2**15)])
+def test_key_switch_quad(setup, rng, spec):
+    sk, (k1, k2, _, kh, _) = setup
+    m1, m2 = she.pt_random(PARAMS, rng), she.pt_random(PARAMS, rng)
+    c1, c2 = she.encrypt(sk, m1, k1), she.encrypt(sk, m2, k2)
+    hint = she.ks_quad_circ_hint(sk, spec, kh)
+    lin = she.key_switch_quad_circ(hint, she.ct_mul(c1, c2))
+    assert lin.degree == 1
+    np.testing.assert_array_equal(
+        she.decrypt(sk, lin), she.pt_mul(PARAMS, m1, m2)
+    )
+
+
+def test_key_switch_linear_changes_key(setup, rng):
+    sk, (k1, _, _, _, kh2) = setup
+    sk2 = she.gen_sk(PARAMS, jax.random.PRNGKey(77))
+    m = she.pt_random(PARAMS, rng)
+    ct = she.encrypt(sk, m, k1)
+    hint = she.ks_linear_hint(sk2, sk, gd.RnsGad(), kh2)
+    ct2 = she.key_switch_linear(hint, ct)
+    np.testing.assert_array_equal(she.decrypt(sk2, ct2), m)
+
+
+def test_mod_switch_preserves_message(setup, rng):
+    sk, (k1, *_) = setup
+    m = she.pt_random(PARAMS, rng)
+    ct = she.encrypt(sk, m, k1)
+    n0 = she.noise_bits(sk, ct)
+    ct2 = she.mod_switch(ct)
+    assert ct2.ctx.basis.qs == QS[:-1]
+    sk2 = she.SK(ct2.params, sk.s_ints, sk.var)
+    np.testing.assert_array_equal(she.decrypt(sk2, ct2), m)
+    # error shrinks (by ~log2 ql bits)
+    assert she.noise_bits(sk2, ct2) <= max(n0 - 20, 8)
+    # twice
+    ct3 = she.mod_switch(ct2)
+    sk3 = she.SK(ct3.params, sk.s_ints, sk.var)
+    np.testing.assert_array_equal(she.decrypt(sk3, ct3), m)
+
+
+def test_full_pipeline_mul_relin_rescale(setup, rng):
+    sk, (k1, k2, _, kh, _) = setup
+    m1, m2 = she.pt_random(PARAMS, rng), she.pt_random(PARAMS, rng)
+    c1, c2 = she.encrypt(sk, m1, k1), she.encrypt(sk, m2, k2)
+    hint = she.ks_quad_circ_hint(sk, gd.RnsGad(), kh)
+    out = she.mod_switch(she.key_switch_quad_circ(hint, she.ct_mul(c1, c2)))
+    sk2 = she.SK(out.params, sk.s_ints, sk.var)
+    np.testing.assert_array_equal(
+        she.decrypt(sk2, out), she.pt_mul(PARAMS, m1, m2)
+    )
+
+
+def test_add_mul_public(setup, rng):
+    sk, (k1, *_) = setup
+    m = she.pt_random(PARAMS, rng)
+    pub = she.pt_random(PARAMS, rng)
+    ct = she.encrypt(sk, m, k1)
+    np.testing.assert_array_equal(
+        she.decrypt(sk, she.add_public(ct, pub)), she.pt_add(PARAMS, m, pub)
+    )
+    np.testing.assert_array_equal(
+        she.decrypt(sk, she.mul_public(ct, pub)), she.pt_mul(PARAMS, m, pub)
+    )
+    # mul_public after a mod_switch (f != 1) still correct
+    ct2 = she.mod_switch(ct)
+    sk2 = she.SK(ct2.params, sk.s_ints, sk.var)
+    np.testing.assert_array_equal(
+        she.decrypt(sk2, she.mul_public(ct2, pub)), she.pt_mul(PARAMS, m, pub)
+    )
+
+
+def test_error_term_small(setup, rng):
+    sk, (k1, *_) = setup
+    m = she.pt_random(PARAMS, rng)
+    ct = she.encrypt(sk, m, k1)
+    e = she.error_term(sk, ct)
+    Q = ct.ctx.basis.modulus
+    assert max(abs(int(v)) for v in e.reshape(-1)) < Q // (4 * PARAMS.p)
+    assert she.noise_bits(sk, ct) < 25
+
+
+def test_embed_twace_ct(setup, rng):
+    sk, (k1, *_) = setup
+    m = she.pt_random(PARAMS, rng)
+    ct = she.encrypt(sk, m, k1)
+    # embed ct and sk into m=256; decrypt there
+    sk_up = she.embed_sk(sk, 256)
+    ct_up = she.embed_ct(ct, 256)
+    dec_up = she.decrypt(sk_up, ct_up)
+    # embedded message = stride-scattered coefficients
+    emb = she.Cyc.from_ints(PARAMS.ctx, m).embed(she.ring_context(256, QS))
+    want = np.array([int(v) % PARAMS.p for v in emb.lift_ints()], dtype=np.int64)
+    np.testing.assert_array_equal(dec_up, want)
+    # twace back down: decrypts to the original under the original sk
+    ct_down = she.twace_ct(ct_up, M)
+    np.testing.assert_array_equal(she.decrypt(sk, ct_down), m)
+
+
+def test_mod_switch_pt(setup, rng):
+    sk, (k1, *_) = setup
+    params4 = she.SHEParams(m=M, p=4, qs=QS, var=2.0)
+    sk4 = she.gen_sk(params4, jax.random.PRNGKey(5))
+    m = she.pt_random(params4, rng)
+    ct = she.encrypt(sk4, m, k1)
+    ct2 = she.mod_switch_pt(ct, 2)
+    sk2 = she.SK(ct2.params, sk4.s_ints, sk4.var)
+    np.testing.assert_array_equal(she.decrypt(sk2, ct2), m % 2)
