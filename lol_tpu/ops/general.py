@@ -1,0 +1,484 @@
+"""General index-m cyclotomic transforms: the prime-power tensor algebra.
+
+The mathematical heart of the reference (LPR toolkit, ePrint 2013/293;
+Lol's Tensor DSL + `lol-cpp` C++ kernels, SURVEY.md §3.3/§3.4): for
+m = prod p_i^{e_i}, R_m = (x)_i R_{p_i^{e_i}} and every linear op factors
+as a tensor product of per-prime-power transforms applied along the axes
+of the coefficient tensor of shape phi_shape = (phi(p_i^{e_i}))_i.
+
+Per-axis transform choices (TPU-first):
+- p = 2 axis: the fused negacyclic NTT network (ops/ntt.py + Pallas) —
+  the CRT matrix of R_{2^a} *is* the negacyclic NTT with unit ordering
+  u(i) = 2*brv(i)+1 mod 2^a.
+- odd p axes (small in practice: 3,5,7,...): dense phi x phi
+  matrix-vector products mod q with exact tree-reductions — these are
+  MXU-shaped matmuls; correctness first via VPU modmul + modsum tree.
+
+CRT slot indexing: slot multi-index (u_1, ..., u_k), axis i enumerating
+the units of Z_{p_i^{e_i}} in a *canonical order* (2-axis: NTT order;
+odd axes: ascending).  Slot value of ζ_m |-> ω^u with u the CRT-combine
+of the per-axis units (ω = canonical principal m-th root mod q).
+
+Basis conversions:
+- L (dec -> pow): per odd-prime axis, prefix sums along the prime level
+  (L_p = lower-triangular ones, tensored with I_{p^{e-1}}); identity on
+  the 2-axis.  lInv: adjacent differences.
+- mulG / divG: g = prod_{odd p | m} (1 - ζ_p); per-axis banded stencil
+  (pow), conjugated by L (dec), pointwise by CRT(g) (crt).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import numtheory as nt
+from .. import zq
+from ..factored import Factored, PrimePower, fact
+from . import ntt
+
+
+# ---------------------------------------------------------------------------
+# modular dense linear algebra (host, exact)
+# ---------------------------------------------------------------------------
+
+
+def _mat_inv_mod(M: np.ndarray, q: int) -> np.ndarray:
+    """Exact inverse of a square matrix over Z_q (q prime), Gauss-Jordan."""
+    n = M.shape[0]
+    A = [[int(v) % q for v in row] for row in M]
+    I = [[1 if i == j else 0 for j in range(n)] for i in range(n)]
+    for col in range(n):
+        piv = next((r for r in range(col, n) if A[r][col] % q != 0), None)
+        if piv is None:
+            raise ValueError("matrix not invertible mod q")
+        A[col], A[piv] = A[piv], A[col]
+        I[col], I[piv] = I[piv], I[col]
+        inv = nt.modinv(A[col][col], q)
+        A[col] = [v * inv % q for v in A[col]]
+        I[col] = [v * inv % q for v in I[col]]
+        for r in range(n):
+            if r != col and A[r][col]:
+                f = A[r][col]
+                A[r] = [(a - f * b) % q for a, b in zip(A[r], A[col])]
+                I[r] = [(a - f * b) % q for a, b in zip(I[r], I[col])]
+    return np.array(I, dtype=np.uint32)
+
+
+def _modsum_tree(x, q, axis=-1):
+    """Deterministic exact mod-q sum along `axis` via pairwise folding."""
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    while n > 1:
+        if n % 2:
+            x = jnp.concatenate(
+                [x, jnp.zeros((*x.shape[:-1], 1), dtype=x.dtype)], axis=-1
+            )
+            n += 1
+        x = zq.add_mod(x[..., : n // 2], x[..., n // 2 :], q)
+        n //= 2
+    return x[..., 0]
+
+
+def matvec_mod_jnp(M, x, q):
+    """(a,b) @ (..., b) -> (..., a) mod q, exact, MXU-shaped later."""
+    prod = zq.mul_mod(M, x[..., None, :], q)  # (..., a, b)
+    return _modsum_tree(prod, q, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# per-axis plans
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AxisPlan:
+    pp: PrimePower
+    q: int
+    units: np.ndarray  # canonical unit enumeration of Z_{p^e}^*, len phi
+    # dense path (odd p); None for the 2-axis
+    M: np.ndarray | None  # CRT matrix (phi, phi)
+    Minv: np.ndarray | None
+    ntt2: ntt.NTTPlan | None  # p=2 fast path
+
+    @property
+    def phi(self) -> int:
+        return self.pp.phi
+
+
+@lru_cache(maxsize=1024)
+def axis_plan(p: int, e: int, q: int, m: int) -> AxisPlan:
+    """Transform plan for the p^e axis of R_m over Z_q.
+
+    The axis root is omega_i = omega^(m / p^e) for the canonical principal
+    m-th root omega (derived from the smallest primitive root of q), so
+    axes of different rings in a divisibility tower are automatically
+    compatible."""
+    pp = PrimePower(p, e)
+    pe = p**e
+    omega = nt.principal_root_of_unity(m, q)
+    w = pow(omega, m // pe, q)  # principal p^e-th root
+    if p == 2:
+        if e == 1:
+            # phi(2) = 1: trivial axis (unit 1); treat as dense identity
+            units = np.array([1], dtype=np.int64)
+            return AxisPlan(pp, q, units, np.array([[1]], np.uint32),
+                            np.array([[1]], np.uint32), None)
+        n2 = pe // 2
+        plan = ntt.ntt_plan(n2, q, psi=w)
+        units = (ntt.crt_output_exponents(n2) % pe).astype(np.int64)
+        return AxisPlan(pp, q, units, None, None, plan)
+    units = np.array([u for u in range(pe) if u % p != 0], dtype=np.int64)
+    phi = pp.phi
+    M = np.empty((phi, phi), dtype=np.uint32)
+    for a, u in enumerate(units):
+        wu = pow(int(w), int(u), q)
+        row = 1
+        for b in range(phi):
+            M[a, b] = row
+            row = row * wu % q
+    return AxisPlan(pp, q, units, M, _mat_inv_mod(M, q), None)
+
+
+@dataclass(frozen=True)
+class GeneralPlan:
+    """All per-axis plans for (m, q); the analog of the C++ tensor fuser's
+    walk over the factorization (SURVEY §3.3 tensor.cpp)."""
+
+    fm: Factored
+    q: int
+    axes: tuple[AxisPlan, ...]
+
+    @property
+    def phi_shape(self):
+        return self.fm.phi_shape
+
+
+@lru_cache(maxsize=512)
+def general_plan(m: int, q: int) -> GeneralPlan:
+    f = fact(m)
+    if (q - 1) % m != 0:
+        raise ValueError(f"general_plan: need m={m} | q-1 (q={q})")
+    axes = tuple(axis_plan(pp.p, pp.e, q, m) for pp in f.pps)
+    return GeneralPlan(f, q, axes)
+
+
+# ---------------------------------------------------------------------------
+# applying per-axis transforms
+# ---------------------------------------------------------------------------
+
+
+def _apply_axis(plan: GeneralPlan, x, i: int, fn):
+    """Apply fn (last-axis transform) along logical axis i of (..., n)."""
+    shape = x.shape
+    batch = shape[:-1]
+    xs = x.reshape(*batch, *plan.phi_shape)
+    ax = len(batch) + i
+    xs = jnp.moveaxis(xs, ax, -1)
+    xs = fn(xs)
+    xs = jnp.moveaxis(xs, -1, ax)
+    return xs.reshape(*shape)
+
+
+def crt(plan: GeneralPlan, x):
+    """Powerful -> CRT basis (evaluation at the canonical slot order)."""
+    for i, ax in enumerate(plan.axes):
+        if ax.phi == 1:
+            continue
+        if ax.ntt2 is not None:
+            x = _apply_axis(plan, x, i, lambda v, a=ax: ntt.ntt_forward_stages(v, a.ntt2))
+        else:
+            x = _apply_axis(
+                plan, x, i, lambda v, a=ax: matvec_mod_jnp(jnp.asarray(a.M), v, plan.q)
+            )
+    return x
+
+
+def crt_inv(plan: GeneralPlan, x):
+    for i, ax in enumerate(plan.axes):
+        if ax.phi == 1:
+            continue
+        if ax.ntt2 is not None:
+            x = _apply_axis(plan, x, i, lambda v, a=ax: ntt.ntt_inverse_stages(v, a.ntt2))
+        else:
+            x = _apply_axis(
+                plan, x, i,
+                lambda v, a=ax: matvec_mod_jnp(jnp.asarray(a.Minv), v, plan.q),
+            )
+    return x
+
+
+# --- L / L^-1 --------------------------------------------------------------
+
+
+def _l_axis(v, pp: PrimePower, q, inverse: bool):
+    """Prefix-sum (or difference) along the prime level of the last axis.
+
+    Axis layout: index j = t * p^(e-1) + r, t < p-1: view (p-1, p^{e-1})."""
+    p, e = pp.p, pp.e
+    lead = v.shape[:-1]
+    vs = v.reshape(*lead, p - 1, p ** (e - 1))
+    if not inverse:
+        # pow[t] = sum_{t' <= t} dec[t']: sequential fold (p small)
+        rows = [vs[..., 0, :]]
+        for t in range(1, p - 1):
+            rows.append(zq.add_mod(rows[-1], vs[..., t, :], q))
+        out = jnp.stack(rows, axis=-2)
+    else:
+        rows = [vs[..., 0, :]]
+        for t in range(1, p - 1):
+            rows.append(zq.sub_mod(vs[..., t, :], vs[..., t - 1, :], q))
+        out = jnp.stack(rows, axis=-2)
+    return out.reshape(*lead, pp.phi)
+
+
+def l(plan: GeneralPlan, x):
+    """Decoding -> powerful (Lol Tensor.l): per-odd-axis prefix sums."""
+    for i, ax in enumerate(plan.axes):
+        if ax.pp.p == 2 or ax.phi == 1:
+            continue
+        x = _apply_axis(plan, x, i, lambda v, a=ax: _l_axis(v, a.pp, plan.q, False))
+    return x
+
+
+def l_inv(plan: GeneralPlan, x):
+    for i, ax in enumerate(plan.axes):
+        if ax.pp.p == 2 or ax.phi == 1:
+            continue
+        x = _apply_axis(plan, x, i, lambda v, a=ax: _l_axis(v, a.pp, plan.q, True))
+    return x
+
+
+# --- mulG / divG -----------------------------------------------------------
+
+
+def _mul_g_axis_pow(v, pp: PrimePower, q):
+    """(g_p * x) on the p^e axis, powerful basis.  With the axis viewed as
+    (t, r), t < p-1, r < p^{e-1}:
+      (zeta_p x)[t, r] = x[t-1, r] (t>=1) - x[p-2, r]
+      (g x) = x - zeta_p x."""
+    p, e = pp.p, pp.e
+    lead = v.shape[:-1]
+    vs = v.reshape(*lead, p - 1, p ** (e - 1))
+    top = vs[..., p - 2, :]
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(vs[..., :1, :]), vs[..., : p - 2, :]], axis=-2
+    )
+    zx = zq.sub_mod(shifted, top[..., None, :], q)
+    out = zq.sub_mod(vs, zx, q)
+    return out.reshape(*lead, pp.phi)
+
+
+@lru_cache(maxsize=256)
+def _g_matrices(p: int, e: int, q: int):
+    """Per-axis matrices: G_pow (mult by g_p), its inverse, and the dec
+    conjugates L^-1 G L — all (phi, phi) uint32, host-built via the
+    stencil applied to basis vectors."""
+    pp = PrimePower(p, e)
+    phi = pp.phi
+    eye = np.eye(phi, dtype=np.uint32)
+    cols = []
+    for j in range(phi):
+        col = np.asarray(
+            _mul_g_axis_pow(jnp.asarray(eye[j][None]), pp, q)
+        )[0]
+        cols.append(col)
+    G = np.stack(cols, axis=1).astype(np.uint32)
+    Ginv = _mat_inv_mod(G, q)
+    # L matrix for the dec conjugation
+    Lm = np.zeros((phi, phi), dtype=np.uint32)
+    for j in range(phi):
+        Lm[:, j] = np.asarray(
+            _l_axis(jnp.asarray(eye[j][None]), pp, q, False)
+        )[0]
+    Linv = _mat_inv_mod(Lm, q)
+    Gdec = (Linv.astype(np.int64) @ (G.astype(np.int64) @ Lm % q) % q).astype(
+        np.uint32
+    )
+    Gdec_inv = _mat_inv_mod(Gdec, q)
+    return G, Ginv, Gdec, Gdec_inv
+
+
+def mul_g_pow(plan: GeneralPlan, x):
+    for i, ax in enumerate(plan.axes):
+        if ax.pp.p == 2:
+            continue
+        x = _apply_axis(plan, x, i, lambda v, a=ax: _mul_g_axis_pow(v, a.pp, plan.q))
+    return x
+
+
+def div_g_pow(plan: GeneralPlan, x):
+    for i, ax in enumerate(plan.axes):
+        if ax.pp.p == 2:
+            continue
+        Ginv = _g_matrices(ax.pp.p, ax.pp.e, plan.q)[1]
+        x = _apply_axis(
+            plan, x, i, lambda v, G=Ginv: matvec_mod_jnp(jnp.asarray(G), v, plan.q)
+        )
+    return x
+
+
+def mul_g_dec(plan: GeneralPlan, x):
+    for i, ax in enumerate(plan.axes):
+        if ax.pp.p == 2:
+            continue
+        Gd = _g_matrices(ax.pp.p, ax.pp.e, plan.q)[2]
+        x = _apply_axis(
+            plan, x, i, lambda v, G=Gd: matvec_mod_jnp(jnp.asarray(G), v, plan.q)
+        )
+    return x
+
+
+def div_g_dec(plan: GeneralPlan, x):
+    for i, ax in enumerate(plan.axes):
+        if ax.pp.p == 2:
+            continue
+        Gdi = _g_matrices(ax.pp.p, ax.pp.e, plan.q)[3]
+        x = _apply_axis(
+            plan, x, i, lambda v, G=Gdi: matvec_mod_jnp(jnp.asarray(G), v, plan.q)
+        )
+    return x
+
+
+@lru_cache(maxsize=512)
+def _g_crt_vec(m: int, q: int) -> np.ndarray:
+    """CRT(g) as a flat length-phi(m) vector in canonical slot order."""
+    if m == 1:
+        return np.ones(1, dtype=np.uint32)
+    plan = general_plan(m, q)
+    per_axis = []
+    for ax in plan.axes:
+        if ax.pp.p == 2:
+            per_axis.append(np.ones(ax.phi, dtype=np.int64))
+            continue
+        p, e = ax.pp.p, ax.pp.e
+        omega = nt.principal_root_of_unity(m, q)
+        w = pow(omega, m // (p**e), q)  # p^e-th root
+        wp = pow(w, p ** (e - 1), q)  # p-th root = image of zeta_p
+        per_axis.append(
+            np.array([(1 - pow(wp, int(u), q)) % q for u in ax.units],
+                     dtype=np.int64)
+        )
+    out = per_axis[0]
+    for v in per_axis[1:]:
+        out = np.multiply.outer(out, v) % q
+    return out.reshape(-1).astype(np.uint32)
+
+
+def mul_g_crt(plan: GeneralPlan, x):
+    v = jnp.asarray(_g_crt_vec(plan.fm.m, plan.q))
+    return zq.mul_mod(x, v, plan.q)
+
+
+def div_g_crt(plan: GeneralPlan, x):
+    gv = _g_crt_vec(plan.fm.m, plan.q)
+    vinv = np.array([nt.modinv(int(v), plan.q) for v in gv], dtype=np.uint32)
+    return zq.mul_mod(x, jnp.asarray(vinv), plan.q)
+
+
+# ---------------------------------------------------------------------------
+# embed / twace index tables (general m' | m)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=512)
+def embed_pow_table(m_sub: int, m_sup: int) -> np.ndarray:
+    """Flat scatter table: embedded coeff position of each sub coeff.
+
+    Per-axis: for p in both: j = j' * p^(e-e'); p only in sup: j = 0."""
+    fs, fS = fact(m_sub), fact(m_sup)
+    if m_sup % m_sub != 0:
+        raise ValueError("embed: need m_sub | m_sup")
+    sub_pp = {pp.p: pp for pp in fs.pps}
+    axis_maps = []
+    for pp in fS.pps:
+        if pp.p in sub_pp:
+            e_sub = sub_pp[pp.p].e
+            stride = pp.p ** (pp.e - e_sub)
+            axis_maps.append(np.arange(sub_pp[pp.p].phi) * stride)
+        else:
+            axis_maps.append(np.array([0]))
+    # flat index of sup tensor for each sub multi-index
+    sup_shape = fS.phi_shape
+    strides = np.ones(len(sup_shape), dtype=np.int64)
+    for a in range(len(sup_shape) - 2, -1, -1):
+        strides[a] = strides[a + 1] * sup_shape[a + 1]
+    grids = np.meshgrid(*axis_maps, indexing="ij")
+    flat = sum(g * s for g, s in zip(grids, strides))
+    return flat.reshape(-1).astype(np.int64)
+
+
+@lru_cache(maxsize=512)
+def crt_embed_table(m_sub: int, m_sup: int, q: int) -> np.ndarray:
+    """tbl[sup_slot] = sub_slot whose unit is u mod m_sub."""
+    ps = general_plan(m_sub, q)
+    pS = general_plan(m_sup, q)
+    sub_units = _global_units(ps)
+    sup_units = _global_units(pS)
+    pos = {int(u): i for i, u in enumerate(sub_units)}
+    return np.array([pos[int(u) % m_sub] for u in sup_units], dtype=np.int64)
+
+
+def _global_units(plan: GeneralPlan) -> np.ndarray:
+    """Flat slot order -> unit of (Z/m)^* via per-axis CRT combine."""
+    m = plan.fm.m
+    if m == 1:
+        return np.array([0], dtype=np.int64)
+    parts = []
+    for ax in plan.axes:
+        pe = ax.pp.value
+        mi = m // pe
+        # CRT coefficient: x = sum u_i * M_i * [M_i^-1]_{p^e}
+        c = mi * nt.modinv(mi % pe, pe) % m
+        parts.append((ax.units % pe) * c % m)
+    out = parts[0]
+    for v in parts[1:]:
+        out = np.add.outer(out, v) % m
+    return out.reshape(-1) % m
+
+
+def embed_pow(m_sub: int, m_sup: int, x):
+    tbl = embed_pow_table(m_sub, m_sup)
+    n_sup = fact(m_sup).phi
+    out = jnp.zeros((*x.shape[:-1], n_sup), dtype=x.dtype)
+    return out.at[..., jnp.asarray(tbl)].set(x)
+
+
+def twace_pow(m_sub: int, m_sup: int, x):
+    """Projection onto the embedded coefficient positions."""
+    tbl = jnp.asarray(embed_pow_table(m_sub, m_sup))
+    return x[..., tbl]
+
+
+def embed_crt(m_sub: int, m_sup: int, q: int, x):
+    tbl = jnp.asarray(crt_embed_table(m_sub, m_sup, q))
+    return x[..., tbl]
+
+
+def twace_crt(m_sub: int, m_sup: int, q: int, x):
+    """Tweaked trace in CRT: Tw(x) = t' * Tr(x / t) with twists
+    t = mhat/g per ring: pointwise-divide by CRT(t), coset-sum,
+    pointwise-multiply by CRT(t').  (Matches the pow-basis projection;
+    for 2-power towers it degenerates to the coset mean.)"""
+    tbl = crt_embed_table(m_sub, m_sup, q)
+    n_sub = fact(m_sub).phi
+    k = fact(m_sup).phi // n_sub
+    # pre[u] = t(u)^-1 = g(u) * mhat^-1 ; post[u'] = t'(u') = mhat' * g'(u')^-1
+    g_sup = _g_crt_vec(m_sup, q).astype(np.int64)
+    g_sub = _g_crt_vec(m_sub, q).astype(np.int64)
+    mh_inv = nt.modinv(fact(m_sup).mhat % q, q)
+    pre = (g_sup * mh_inv % q).astype(np.uint32)
+    mh_sub = fact(m_sub).mhat % q
+    post = np.array(
+        [mh_sub * nt.modinv(int(v), q) % q for v in g_sub], dtype=np.uint32
+    )
+    y = zq.mul_mod(x, jnp.asarray(pre), q)
+    order = np.argsort(tbl, kind="stable")
+    g = y[..., jnp.asarray(order)].reshape(*x.shape[:-1], n_sub, k)
+    s = g[..., 0]
+    for j in range(1, k):
+        s = zq.add_mod(s, g[..., j], q)
+    return zq.mul_mod(s, jnp.asarray(post), q)

@@ -1,0 +1,156 @@
+"""General-m tensor transform identities — Lol TensorTests analog over a
+non-2-power (m, q) grid (SURVEY.md §5.1): crt/crtInv roundtrips, direct-
+evaluation oracle, cross-basis mulG agreement, L roundtrips, twace/embed."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from lol_tpu import numtheory as nt, zq
+from lol_tpu.factored import fact
+from lol_tpu.ops import general as gen
+
+MS = [3, 5, 8, 9, 12, 16, 21, 24, 36, 45, 60]
+
+
+def q_for(m: int) -> int:
+    # one 30-bit prime with q = 1 mod lcm(m, small): just q = 1 mod m
+    return nt.ntt_primes(m if m % 2 else m, 30, 1)[0]
+
+
+def rand_poly(rng, m, q, shape=()):
+    n = fact(m).phi
+    return jnp.asarray(
+        rng.integers(0, q, (*shape, n), dtype=np.uint64).astype(np.uint32)
+    )
+
+
+@pytest.mark.parametrize("m", MS)
+def test_crt_roundtrip(m, rng):
+    q = q_for(m)
+    plan = gen.general_plan(m, q)
+    x = rand_poly(rng, m, q, (2,))
+    np.testing.assert_array_equal(
+        np.asarray(gen.crt_inv(plan, gen.crt(plan, x))), np.asarray(x)
+    )
+
+
+@pytest.mark.parametrize("m", [3, 9, 12, 21, 24])
+def test_crt_is_direct_evaluation(m, rng):
+    """crt(x)[slot u] == sum_j x_j omega^(u * E(j)) — the defining spec."""
+    q = q_for(m)
+    plan = gen.general_plan(m, q)
+    f = fact(m)
+    x = np.asarray(rand_poly(rng, m, q))
+    got = np.asarray(gen.crt(plan, jnp.asarray(x)))
+    omega = nt.principal_root_of_unity(m, q)
+    units = gen._global_units(plan)
+    # powerful-basis exponents E(j) per flat index
+    exps = []
+    shape = f.phi_shape
+    for flat in range(f.phi):
+        idx = np.unravel_index(flat, shape)
+        E = sum(
+            int(j) * (m // pp.value) for j, pp in zip(idx, f.pps)
+        ) % m
+        exps.append(E)
+    for si, u in enumerate(units):
+        want = sum(
+            int(x[j]) * pow(omega, int(u) * exps[j] % m, q) for j in range(f.phi)
+        ) % q
+        assert int(got[si]) == want, f"m={m} slot {si}"
+
+
+@pytest.mark.parametrize("m", [9, 12, 21, 45])
+def test_pointwise_mul_is_ring_mul(m, rng):
+    """CRT(a)*CRT(b) == evaluation of the ring product (ring iso spec)."""
+    q = q_for(m)
+    plan = gen.general_plan(m, q)
+    a = rand_poly(rng, m, q)
+    b = rand_poly(rng, m, q)
+    ca, cb = gen.crt(plan, a), gen.crt(plan, b)
+    prod = gen.crt_inv(plan, zq.mul_mod(ca, cb, q))
+    # oracle: back to CRT must equal pointwise product
+    np.testing.assert_array_equal(
+        np.asarray(gen.crt(plan, prod)), np.asarray(zq.mul_mod(ca, cb, q))
+    )
+
+
+@pytest.mark.parametrize("m", MS)
+def test_l_roundtrip(m, rng):
+    q = q_for(m)
+    plan = gen.general_plan(m, q)
+    x = rand_poly(rng, m, q)
+    np.testing.assert_array_equal(
+        np.asarray(gen.l_inv(plan, gen.l(plan, x))), np.asarray(x)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(gen.l(plan, gen.l_inv(plan, x))), np.asarray(x)
+    )
+
+
+@pytest.mark.parametrize("m", MS)
+def test_mul_div_g_roundtrips(m, rng):
+    q = q_for(m)
+    plan = gen.general_plan(m, q)
+    x = rand_poly(rng, m, q)
+    for mul, div in [
+        (gen.mul_g_pow, gen.div_g_pow),
+        (gen.mul_g_dec, gen.div_g_dec),
+        (gen.mul_g_crt, gen.div_g_crt),
+    ]:
+        np.testing.assert_array_equal(
+            np.asarray(div(plan, mul(plan, x))), np.asarray(x)
+        )
+
+
+@pytest.mark.parametrize("m", [9, 12, 21, 45])
+def test_mul_g_cross_basis_agreement(m, rng):
+    q = q_for(m)
+    plan = gen.general_plan(m, q)
+    x = rand_poly(rng, m, q)
+    # crt(mulGPow(x)) == mulGCRT(crt(x))
+    np.testing.assert_array_equal(
+        np.asarray(gen.crt(plan, gen.mul_g_pow(plan, x))),
+        np.asarray(gen.mul_g_crt(plan, gen.crt(plan, x))),
+    )
+    # mulGDec == lInv . mulGPow . l
+    np.testing.assert_array_equal(
+        np.asarray(gen.mul_g_dec(plan, x)),
+        np.asarray(gen.l_inv(plan, gen.mul_g_pow(plan, gen.l(plan, x)))),
+    )
+
+
+TOWERS = [(4, 8), (3, 9), (3, 21), (7, 21), (12, 24), (12, 36), (1, 3), (5, 45), (9, 45)]
+
+
+@pytest.mark.parametrize("msub,msup", TOWERS)
+def test_twace_embed_identity(msub, msup, rng):
+    q = nt.ntt_primes(int(np.lcm(msub if msub > 1 else 1, msup)), 30, 1)[0]
+    x = rand_poly(rng, msub, q)
+    emb = gen.embed_pow(msub, msup, x)
+    np.testing.assert_array_equal(
+        np.asarray(gen.twace_pow(msub, msup, emb)), np.asarray(x)
+    )
+    # CRT versions
+    ps, pS = gen.general_plan(msub, q), gen.general_plan(msup, q)
+    xc = gen.crt(ps, x)
+    embc = gen.embed_crt(msub, msup, q, xc)
+    np.testing.assert_array_equal(
+        np.asarray(gen.twace_crt(msub, msup, q, embc)), np.asarray(xc)
+    )
+    # pow-embed and crt-embed agree
+    np.testing.assert_array_equal(
+        np.asarray(gen.crt(pS, emb)), np.asarray(embc)
+    )
+
+
+@pytest.mark.parametrize("msub,msup", [(3, 9), (7, 21), (12, 24), (12, 36), (5, 45)])
+def test_twace_pow_agrees_with_crt_path(msub, msup, rng):
+    """twacePow == crtInv . twaceCRT . crt — the tweak conventions line up."""
+    q = nt.ntt_primes(msup, 30, 1)[0]
+    ps, pS = gen.general_plan(msub, q), gen.general_plan(msup, q)
+    x = rand_poly(rng, msup, q)
+    via_crt = gen.crt_inv(ps, gen.twace_crt(msub, msup, q, gen.crt(pS, x)))
+    direct = gen.twace_pow(msub, msup, x)
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(via_crt))
