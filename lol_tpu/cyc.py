@@ -137,9 +137,12 @@ class Cyc:
         return Cyc(self.ctx, self.rep, fn(self.ctx, self.data))
 
     # --- lifts / reductions (Lol liftCyc / reduce / rescaleCyc) ---------
-    def lift_ints(self) -> np.ndarray:
-        """Centered integer coefficients (host, exact; Lol liftCyc Dec/Pow)."""
-        c = self.to_pow() if self.ctx.fm.is_pow2() else self.to_dec()
+    def lift_ints(self, rep: Rep = Rep.DEC) -> np.ndarray:
+        """Centered integer coefficients (host, exact; Lol liftCyc).
+
+        Default basis is decoding (Lol liftDec — the error-minimizing
+        choice); equals powerful for 2-power m."""
+        c = self.to_dec() if rep is Rep.DEC else self.to_pow()
         return rg.lift_centered_host(c.ctx, c.data)
 
     def reduce_to(self, ctx2: RingContext) -> "Cyc":

@@ -34,6 +34,7 @@ import numpy as np
 from . import numtheory as nt
 from . import zq
 from .factored import Factored, fact
+from .ops import general as gen
 from .ops import ntt
 from .rns import RnsBasis, rns_basis
 
@@ -61,13 +62,12 @@ class RingContext:
         return self.basis.nrns
 
     def __post_init__(self):
-        if not self.fm.is_pow2():
-            # general-m support arrives with ops/general.py plans
-            for mod in self.basis.moduli:
-                if not mod.has_crt(self.m):
-                    raise ValueError(
-                        f"modulus {mod.q} admits no CRT for m={self.m}"
-                    )
+        for mod in self.basis.moduli:
+            req = 2 * self.n if self.fm.is_pow2() else self.m
+            if self.m > 1 and not mod.has_crt(req):
+                raise ValueError(
+                    f"modulus {mod.q} admits no CRT for m={self.m}"
+                )
 
     def has_crt(self) -> bool:
         return all(mod.has_crt(2 * self.n if self.fm.is_pow2() else self.m)
@@ -75,8 +75,11 @@ class RingContext:
 
     def ntt_plans(self) -> list[ntt.NTTPlan]:
         if not self.fm.is_pow2():
-            raise NotImplementedError("general-m plans live in ops/general.py")
+            raise NotImplementedError("general-m plans: use general_plans()")
         return [_pow2_plan(self.n, q) for q in self.basis.qs]
+
+    def general_plans(self) -> list["gen.GeneralPlan"]:
+        return [gen.general_plan(self.m, q) for q in self.basis.qs]
 
     def child(self, m2: int) -> "RingContext":
         """Same moduli, different index (for embed/twace towers)."""
@@ -131,30 +134,37 @@ def _per_residue(ctx: RingContext, x, fn):
     return jnp.stack(outs, axis=-2)
 
 
+def _per_residue_gen(ctx: RingContext, x, fn):
+    plans = ctx.general_plans()
+    outs = [fn(x[..., i, :], plans[i]) for i in range(ctx.nrns)]
+    return jnp.stack(outs, axis=-2)
+
+
 def crt(ctx: RingContext, x) -> jnp.ndarray:
-    """Powerful -> CRT basis (Lol Tensor.crt).  2-power: negacyclic NTT."""
+    """Powerful -> CRT basis (Lol Tensor.crt).  2-power: negacyclic NTT;
+    general m: prime-power tensor transforms (ops/general.py)."""
     if ctx.fm.is_pow2():
         return _per_residue(ctx, x, lambda c, p: ntt.ntt_forward_stages(c, p))
-    raise NotImplementedError("general-m crt: ops/general.py")
+    return _per_residue_gen(ctx, x, lambda c, p: gen.crt(p, c))
 
 
 def crt_inv(ctx: RingContext, x) -> jnp.ndarray:
     if ctx.fm.is_pow2():
         return _per_residue(ctx, x, lambda c, p: ntt.ntt_inverse_stages(c, p))
-    raise NotImplementedError("general-m crtInv: ops/general.py")
+    return _per_residue_gen(ctx, x, lambda c, p: gen.crt_inv(p, c))
 
 
 def l(ctx: RingContext, x) -> jnp.ndarray:
     """Decoding -> powerful basis (Lol Tensor.l); identity for 2-power m."""
     if ctx.fm.is_pow2():
         return x
-    raise NotImplementedError
+    return _per_residue_gen(ctx, x, lambda c, p: gen.l(p, c))
 
 
 def l_inv(ctx: RingContext, x) -> jnp.ndarray:
     if ctx.fm.is_pow2():
         return x
-    raise NotImplementedError
+    return _per_residue_gen(ctx, x, lambda c, p: gen.l_inv(p, c))
 
 
 # --- g multiplication (g = prod over odd primes; = 1 for 2-power m) -------
@@ -163,37 +173,37 @@ def l_inv(ctx: RingContext, x) -> jnp.ndarray:
 def mul_g_pow(ctx: RingContext, x) -> jnp.ndarray:
     if ctx.fm.odd_radical == 1:
         return x
-    raise NotImplementedError
+    return _per_residue_gen(ctx, x, lambda c, p: gen.mul_g_pow(p, c))
 
 
 def mul_g_dec(ctx: RingContext, x) -> jnp.ndarray:
     if ctx.fm.odd_radical == 1:
         return x
-    raise NotImplementedError
+    return _per_residue_gen(ctx, x, lambda c, p: gen.mul_g_dec(p, c))
 
 
 def mul_g_crt(ctx: RingContext, x) -> jnp.ndarray:
     if ctx.fm.odd_radical == 1:
         return x
-    raise NotImplementedError
+    return _per_residue_gen(ctx, x, lambda c, p: gen.mul_g_crt(p, c))
 
 
 def div_g_pow(ctx: RingContext, x):
     if ctx.fm.odd_radical == 1:
         return x
-    raise NotImplementedError
+    return _per_residue_gen(ctx, x, lambda c, p: gen.div_g_pow(p, c))
 
 
 def div_g_dec(ctx: RingContext, x):
     if ctx.fm.odd_radical == 1:
         return x
-    raise NotImplementedError
+    return _per_residue_gen(ctx, x, lambda c, p: gen.div_g_dec(p, c))
 
 
 def div_g_crt(ctx: RingContext, x):
     if ctx.fm.odd_radical == 1:
         return x
-    raise NotImplementedError
+    return _per_residue_gen(ctx, x, lambda c, p: gen.div_g_crt(p, c))
 
 
 # ---------------------------------------------------------------------------
@@ -240,21 +250,18 @@ def mul_scalar_int(ctx: RingContext, a, c: int):
 
 
 def embed_pow(sub: RingContext, sup: RingContext, x) -> jnp.ndarray:
-    if not (sub.fm.is_pow2() and sup.fm.is_pow2() and sub.fm.divides(sup.fm)):
-        raise NotImplementedError("embed_pow: 2-power towers only (for now)")
+    if not sub.fm.divides(sup.fm):
+        raise ValueError(f"embed: {sub.m} does not divide {sup.m}")
     if sub.basis.qs != sup.basis.qs:
         raise ValueError("embed: moduli must match")
-    stride = sup.n // sub.n
-    out = jnp.zeros((*x.shape[:-1], sup.n), dtype=jnp.uint32)
-    return out.at[..., ::stride].set(x)
+    return gen.embed_pow(sub.m, sup.m, x)
 
 
 def twace_pow(sup: RingContext, sub: RingContext, x) -> jnp.ndarray:
     """Tweaked trace in the powerful/decoding basis: coordinate gather."""
-    if not (sub.fm.is_pow2() and sup.fm.is_pow2() and sub.fm.divides(sup.fm)):
-        raise NotImplementedError("twace_pow: 2-power towers only (for now)")
-    stride = sup.n // sub.n
-    return x[..., ::stride]
+    if not sub.fm.divides(sup.fm):
+        raise ValueError(f"twace: {sub.m} does not divide {sup.m}")
+    return gen.twace_pow(sub.m, sup.m, x)
 
 
 def _crt_embed_index(sub: RingContext, sup: RingContext) -> np.ndarray:
@@ -272,31 +279,22 @@ def _crt_embed_index(sub: RingContext, sup: RingContext) -> np.ndarray:
 
 
 def embed_crt(sub: RingContext, sup: RingContext, x) -> jnp.ndarray:
-    tbl = jnp.asarray(_crt_embed_index(sub, sup))
-    return x[..., tbl]
+    outs = [
+        gen.embed_crt(sub.m, sup.m, q, x[..., i, :])
+        for i, q in enumerate(sub.basis.qs)
+    ]
+    return jnp.stack(outs, axis=-2)
 
 
 def twace_crt(sup: RingContext, sub: RingContext, x) -> jnp.ndarray:
-    """CRT-basis tweaked trace: average the m/m' evaluation cosets.
-
-    Tw = (hat(m')/hat(m)) * Tr, and Tr in CRT coords sums the slots lying
-    over each sub-slot; with hat(m)/hat(m') = n/n' cosets the scale is
-    exactly the coset mean."""
-    if not (sub.fm.is_pow2() and sup.fm.is_pow2() and sub.fm.divides(sup.fm)):
-        raise NotImplementedError
-    tbl = _crt_embed_index(sub, sup)  # sup-slot -> sub-slot
-    k = sup.n // sub.n
-    order = np.argsort(tbl, kind="stable")  # group sup slots by sub slot
-    outs = []
-    for i, q in enumerate(sup.basis.qs):
-        xi = x[..., i, :]
-        g = xi[..., order].reshape(*xi.shape[:-1], sub.n, k)
-        # tree-sum mod q then divide by k (k a power of 2, invertible)
-        s = g[..., 0]
-        for j in range(1, k):
-            s = zq.add_mod(s, g[..., j], q)
-        kinv = nt.modinv(k, q)
-        outs.append(zq.mul_mod(s, jnp.uint32(kinv), q))
+    """CRT-basis tweaked trace: Tw(x) = t' * Tr(x/t) — twist, coset-sum,
+    untwist (ops/general.py); degenerates to the coset mean for 2-powers."""
+    if not sub.fm.divides(sup.fm):
+        raise ValueError(f"twace: {sub.m} does not divide {sup.m}")
+    outs = [
+        gen.twace_crt(sub.m, sup.m, q, x[..., i, :])
+        for i, q in enumerate(sup.basis.qs)
+    ]
     return jnp.stack(outs, axis=-2)
 
 

@@ -50,8 +50,6 @@ def gaussian_dec_ints(ctx: RingContext, key, var: float,
                       batch: tuple[int, ...] = ()) -> jnp.ndarray:
     """Rounded decoding-basis Gaussian as signed int32 coefficients
     (Lol tweakedGaussianDec + errorRounded)."""
-    if not ctx.fm.is_pow2():
-        raise NotImplementedError("general-m tweaked gaussian: ops/general.py")
     g = real_gaussians(key, var, (*batch, ctx.n))
     return jnp.round(g).astype(jnp.int32)
 

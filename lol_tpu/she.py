@@ -136,7 +136,9 @@ def encrypt(sk: SK, m_ints: np.ndarray, key) -> CT:
     e = np.asarray(
         sampling.gaussian_dec_ints(ctx, k_err, params.var), dtype=np.int64
     )
-    msg_err = Cyc.from_ints(ctx, np.asarray(m_ints, dtype=np.int64) + params.p * e)
+    msg_err = Cyc.from_ints(
+        ctx, np.asarray(m_ints, dtype=np.int64) + params.p * e, rep=Rep.DEC
+    )
     c1 = sampling.uniform(ctx, k_unif)
     c0 = msg_err - c1 * sk.s_cyc(ctx)
     return CT(params, ctx, (c0, c1), f=1)

@@ -7,6 +7,7 @@ import jax
 from lol_tpu import gadget as gd
 from lol_tpu import numtheory as nt
 from lol_tpu import she
+from lol_tpu.cyc import Rep as _Rep
 
 M = 64  # n = 32: small-but-real (Lol-style concrete param stack)
 QS = tuple(nt.ntt_primes(512, 30, 3))  # support the m=64..256 tower
@@ -161,3 +162,42 @@ def test_mod_switch_pt(setup, rng):
     ct2 = she.mod_switch_pt(ct, 2)
     sk2 = she.SK(ct2.params, sk4.s_ints, sk4.var)
     np.testing.assert_array_equal(she.decrypt(sk2, ct2), m % 2)
+
+
+def test_she_general_m(rng):
+    """BGV over a non-2-power cyclotomic (m = 36 = 2^2 * 3^2)."""
+    m_idx = 36
+    qs = tuple(nt.ntt_primes(36, 30, 2))
+    params = she.SHEParams(m=m_idx, p=5, qs=qs, var=3.0)
+    sk = she.gen_sk(params, jax.random.PRNGKey(9))
+    m1 = she.pt_random(params, rng)
+    m2 = she.pt_random(params, rng)
+    c1 = she.encrypt(sk, m1, jax.random.PRNGKey(10))
+    c2 = she.encrypt(sk, m2, jax.random.PRNGKey(11))
+    np.testing.assert_array_equal(she.decrypt(sk, c1), m1)
+    np.testing.assert_array_equal(
+        she.decrypt(sk, she.ct_add(c1, c2)), she.pt_add(params, m1, m2)
+    )
+    hint = she.ks_quad_circ_hint(sk, gd.RnsGad(), jax.random.PRNGKey(12))
+    lin = she.key_switch_quad_circ(hint, she.ct_mul(c1, c2))
+    got = she.decrypt(sk, lin)
+    want = _pt_mul_general(params, m1, m2)
+    np.testing.assert_array_equal(got, want)
+    # mod switch
+    ct2 = she.mod_switch(c1)
+    sk2 = she.SK(ct2.params, sk.s_ints, sk.var)
+    np.testing.assert_array_equal(she.decrypt(sk2, ct2), m1)
+
+
+def _pt_mul_general(params, a, b):
+    """Plaintext product for general m via an exact big-modulus CRT ring."""
+    from lol_tpu.cyc import Cyc
+    from lol_tpu.ring import ring_context
+    aux_qs = tuple(nt.ntt_primes(params.m, 30, 2))
+    ctx = ring_context(params.m, aux_qs)
+    # messages are decoding-basis encoded: multiply the ring elements whose
+    # DEC coefficients are a and b, read the product's DEC coefficients
+    prod = (
+        Cyc.from_ints(ctx, a, rep=_Rep.DEC) * Cyc.from_ints(ctx, b, rep=_Rep.DEC)
+    ).lift_ints(rep=_Rep.DEC)
+    return np.array([int(v) % params.p for v in prod], dtype=np.int64)
