@@ -178,11 +178,27 @@ class Cyc:
         c = self.to_pow()
         return Cyc(sub_ctx, Rep.POW, rg.twace_pow(self.ctx, sub_ctx, c.data))
 
-    def coeffs(self, sub_ctx: RingContext) -> list["Cyc"]:
-        """Relative coefficient decomposition over sub_ctx (Lol coeffsCyc)."""
-        c = self.to_pow()
+    def coeffs(self, sub_ctx: RingContext, rep: Rep = Rep.POW) -> list["Cyc"]:
+        """Relative coefficient decomposition over sub_ctx (Lol coeffsCyc);
+        rep selects powerful- or decoding-basis coefficients (same gather
+        table — the relative basis monomials are shared)."""
+        c = self.to_pow() if rep is Rep.POW else self.to_dec()
         stack = rg.coeffs_pow(self.ctx, sub_ctx, c.data)
-        return [Cyc(sub_ctx, Rep.POW, stack[i]) for i in range(stack.shape[0])]
+        return [Cyc(sub_ctx, rep, stack[i]) for i in range(stack.shape[0])]
+
+    @staticmethod
+    def rel_pow_basis(sup_ctx: RingContext, sub_ctx: RingContext) -> list["Cyc"]:
+        """The relative powerful basis monomials b_rel as elements of the
+        larger ring (Lol powBasis)."""
+        import numpy as _np
+
+        pos = rg.pow_basis(sup_ctx, sub_ctx)
+        out = []
+        for p_ in pos:
+            v = _np.zeros(sup_ctx.n, dtype=_np.int64)
+            v[int(p_)] = 1
+            out.append(Cyc.from_ints(sup_ctx, v))
+        return out
 
     # --- misc -----------------------------------------------------------
     def gsq_norm(self):

@@ -482,3 +482,68 @@ def twace_crt(m_sub: int, m_sup: int, q: int, x):
     for j in range(1, k):
         s = zq.add_mod(s, g[..., j], q)
     return zq.mul_mod(s, jnp.asarray(post), q)
+
+
+# ---------------------------------------------------------------------------
+# relative coefficient decomposition (Lol Tensor.coeffs / powBasisPow)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=512)
+def rel_coeff_table(m_sub: int, m_sup: int) -> np.ndarray:
+    """(d, n_sub) table with T[rel, sub] = sup flat coefficient position:
+    x = sum_rel b_rel * embed(a_rel) where a_rel's coefficients are
+    gathered from x's at T[rel, :], and b_rel is the rel-th element of the
+    relative powerful basis (a monomial; exponents via per-axis split).
+
+    Per-axis: p in both rings: j = j'* p^(e-e') + i, i < p^(e-e');
+    p only in sup: j = i over the whole axis.  The same table serves the
+    powerful and decoding bases (L acts only on the prime level, which
+    lives in the sub part)."""
+    fs, fS = fact(m_sub), fact(m_sup)
+    if m_sup % m_sub != 0:
+        raise ValueError("rel_coeff_table: need m_sub | m_sup")
+    sub_pp = {pp.p: pp for pp in fs.pps}
+    sup_shape = fS.phi_shape
+    strides = np.ones(len(sup_shape), dtype=np.int64)
+    for a in range(len(sup_shape) - 2, -1, -1):
+        strides[a] = strides[a + 1] * sup_shape[a + 1]
+    # per-axis: arrays of (rel_range, sub_range) -> axis index contribution
+    rel_ranges, sub_ranges, axis_fn = [], [], []
+    for ax, pp in enumerate(fS.pps):
+        if pp.p in sub_pp:
+            ratio = pp.p ** (pp.e - sub_pp[pp.p].e)
+            rel_ranges.append(ratio)
+            sub_ranges.append(sub_pp[pp.p].phi)
+            axis_fn.append(lambda i, j, r=ratio: j * r + i)
+        else:
+            rel_ranges.append(pp.phi)
+            sub_ranges.append(1)
+            axis_fn.append(lambda i, j: i)
+    d = int(np.prod(rel_ranges))
+    n_sub = int(np.prod(sub_ranges))
+    T = np.empty((d, n_sub), dtype=np.int64)
+    for rf in range(d):
+        ri = np.unravel_index(rf, rel_ranges)
+        for sf in range(n_sub):
+            si = np.unravel_index(sf, sub_ranges)
+            flat = sum(
+                int(fn(int(i), int(j))) * int(s)
+                for fn, i, j, s in zip(axis_fn, ri, si, strides)
+            )
+            T[rf, sf] = flat
+    return T
+
+
+@lru_cache(maxsize=512)
+def rel_pow_basis_positions(m_sub: int, m_sup: int) -> np.ndarray:
+    """Flat sup coefficient position of each relative powerful basis
+    monomial b_rel (= T[rel, sub=0]); Lol powBasisPow."""
+    return rel_coeff_table(m_sub, m_sup)[:, 0].copy()
+
+
+def coeffs_rel(m_sub: int, m_sup: int, x):
+    """(..., n_sup) -> (d, ..., n_sub) relative coefficients (pow or dec
+    coeffs of x, same table for both bases)."""
+    T = jnp.asarray(rel_coeff_table(m_sub, m_sup))
+    return jnp.moveaxis(x[..., T], -2, 0)

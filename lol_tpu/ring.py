@@ -300,24 +300,20 @@ def twace_crt(sup: RingContext, sub: RingContext, x) -> jnp.ndarray:
 
 def coeffs_pow(sup: RingContext, sub: RingContext, x) -> jnp.ndarray:
     """Relative coefficient decomposition (Lol Tensor.coeffs): express
-    x in R_m as sum_i coeff_i * b_i over the relative powerful basis
-    b_i = x^i, i < n/n'.  For 2-power towers this is a reshape: coeff_i
-    collects coefficients with index = i (mod n/n')."""
-    if not (sub.fm.is_pow2() and sup.fm.is_pow2() and sub.fm.divides(sup.fm)):
-        raise NotImplementedError
-    d = sup.n // sub.n
-    # x[..., j]: j = j_sub * d + i  ->  coeff_i[..., j_sub]
-    shaped = x.reshape(*x.shape[:-1], sub.n, d)
-    return jnp.moveaxis(shaped, -1, 0)  # (d, ..., nrns, n_sub)
+    x = sum_rel b_rel * embed(a_rel) over the relative powerful basis;
+    returns the a_rel coefficient stack (d, ..., nrns, n_sub).  The same
+    gather serves powerful and decoding coefficients."""
+    if not sub.fm.divides(sup.fm):
+        raise ValueError(f"coeffs: {sub.m} does not divide {sup.m}")
+    return gen.coeffs_rel(sub.m, sup.m, x)
 
 
 def pow_basis(sup: RingContext, sub: RingContext) -> np.ndarray:
-    """Relative powerful basis exponents: b_i = x^i, i < m-ratio (Lol
-    powBasisPow).  Returned as exponent list; elements via embed of
-    monomials."""
-    if not (sub.fm.is_pow2() and sup.fm.is_pow2() and sub.fm.divides(sup.fm)):
-        raise NotImplementedError
-    return np.arange(sup.n // sub.n, dtype=np.int32)
+    """Flat coefficient positions of the relative powerful basis monomials
+    (Lol powBasisPow): basis elt rel = indicator at these positions."""
+    if not sub.fm.divides(sup.fm):
+        raise ValueError(f"pow_basis: {sub.m} does not divide {sup.m}")
+    return gen.rel_pow_basis_positions(sub.m, sup.m)
 
 
 # ---------------------------------------------------------------------------

@@ -417,6 +417,64 @@ def embed_ct(ct: CT, m_sup: int) -> CT:
     return CT(new_params, sup, cs, f=ct.f)
 
 
+@dataclass(frozen=True)
+class TunnelHint:
+    """Everything needed to homomorphically apply an E-linear map
+    f : R -> S to a ciphertext, switching it to ring S (Lol TunnelHint):
+    per relative-basis element b_i of R/E, a gadget hint encrypting
+    f(b_i * s_R) under s_S."""
+
+    lin: "object"  # linear.Linear
+    spec: gd.GadgetSpec
+    hints: tuple[KSHint, ...]
+
+
+def tunnel_hint(lin, sk_s: SK, sk_r: SK, spec: gd.GadgetSpec, key) -> TunnelHint:
+    """Lol tunnelHint: hints_i = gadget encryptions of f(b_i * s_R)."""
+    from .cyc import Cyc as _Cyc
+
+    r_ctx = lin.r_ctx
+    s_r = _Cyc.from_ints(r_ctx, sk_r.s_ints).to_crt()
+    basis = _Cyc.rel_pow_basis(r_ctx, lin.e_ctx)
+    hints = []
+    for b_i in basis:
+        key, sub = jax.random.split(key)
+        from . import linear as _linear
+
+        target = _linear.eval_lin(lin, b_i * s_r)  # element of S
+        hints.append(_ks_hint(sk_s, target, spec, sub))
+    return TunnelHint(lin, spec, tuple(hints))
+
+
+def tunnel(th: TunnelHint, ct: CT) -> CT:
+    """Homomorphically apply th.lin, moving ct from ring R to ring S
+    (Lol tunnel).  For ct = (c0, c1):
+      out = (evalLin(c0), 0) + sum_i sum_j digit_j(a_i) * hint_{i,j}
+    where c1 = sum_i b_i embed(a_i) is the relative decomposition."""
+    from . import linear as _linear
+    from .cyc import Cyc as _Cyc
+
+    if ct.degree != 1:
+        raise ValueError("tunnel: need a linear (2-component) ct")
+    lin = th.lin
+    if ct.ctx != lin.r_ctx:
+        raise ValueError("tunnel: ct not in the map's source ring")
+    s_ctx = lin.s_ctx
+    c0, c1 = ct.cs
+    out0 = _linear.eval_lin(lin, c0.to_crt())
+    acc1 = _Cyc.zero(s_ctx).to_crt()
+    coeffs = c1.coeffs(lin.e_ctx, rep=Rep.POW)
+    e_basis = lin.e_ctx.basis
+    for a_i, hint in zip(coeffs, th.hints):
+        digits = gd.decompose(th.spec, e_basis, a_i.to_pow().data)
+        for j in range(digits.shape[0]):
+            dj = _Cyc(lin.e_ctx, Rep.POW, digits[j]).embed(s_ctx).to_crt()
+            out0 = out0 + dj * hint.h0[j]
+            acc1 = acc1 + dj * hint.h1[j]
+    new_params = replace(ct.params, m=s_ctx.m)
+    return CT(new_params, s_ctx, (out0, acc1), f=ct.f)
+
+
 def twace_ct(ct: CT, m_sub: int) -> CT:
     """Tweaked-trace a ciphertext down to a subring (Lol twaceCT); valid
     when the SK lives in the subring."""
