@@ -1,0 +1,117 @@
+"""L5 — serialization (`Protoable` analog).
+
+Reference: `lol/Crypto/Lol/Types/Proto.hs` + generated `Crypto/Proto/*`
+(SURVEY.md §3.2): to/from protobuf for ring elements (R, Rq, Kq), secret
+keys, ciphertexts, and linear maps.  Schema: lol_tpu/proto/lol.proto
+(bindings checked in; regenerate with `protoc --python_out=. lol.proto`).
+
+This doubles as the checkpoint/resume story (SURVEY §6): keys, hints and
+ciphertexts round-trip losslessly, and cross-backend test vectors are
+exchanged in this format.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .cyc import Cyc, Rep
+from .proto import lol_pb2 as pb
+from .ring import ring_context
+
+
+# --- Rq (mod-q ring elements) ---------------------------------------------
+
+
+def cyc_to_proto(c: Cyc) -> pb.Rq:
+    data = np.asarray(c.data)
+    if data.ndim != 2:
+        raise ValueError("cyc_to_proto: single elements only (nrns, n)")
+    return pb.Rq(
+        m=c.ctx.m,
+        qs=list(c.ctx.basis.qs),
+        rep=c.rep.value,
+        coeffs=data.astype("<u4").tobytes(),
+    )
+
+
+def cyc_from_proto(msg: pb.Rq) -> Cyc:
+    ctx = ring_context(int(msg.m), tuple(int(q) for q in msg.qs))
+    arr = np.frombuffer(msg.coeffs, dtype="<u4").reshape(ctx.nrns, ctx.n)
+    return Cyc(ctx, Rep(msg.rep), jnp.asarray(arr))
+
+
+# --- R (integer ring elements) --------------------------------------------
+
+
+def ints_to_proto(m: int, coeffs, rep: str = "dec") -> pb.R:
+    return pb.R(m=m, rep=rep, coeffs=[int(v) for v in np.asarray(coeffs).reshape(-1)])
+
+
+def ints_from_proto(msg: pb.R) -> np.ndarray:
+    return np.array([int(v) for v in msg.coeffs], dtype=np.int64)
+
+
+# --- SHE objects ----------------------------------------------------------
+
+
+def sk_to_proto(sk) -> pb.SecretKey:
+    return pb.SecretKey(
+        m=sk.params.m,
+        p=sk.params.p,
+        qs=list(sk.params.qs),
+        var=sk.var,
+        s=ints_to_proto(sk.params.m, sk.s_ints),
+    )
+
+
+def sk_from_proto(msg: pb.SecretKey):
+    from . import she
+
+    params = she.SHEParams(
+        m=int(msg.m), p=int(msg.p), qs=tuple(int(q) for q in msg.qs),
+        var=float(msg.var),
+    )
+    return she.SK(params, ints_from_proto(msg.s), float(msg.var))
+
+
+def ct_to_proto(ct) -> pb.SHECiphertext:
+    return pb.SHECiphertext(
+        m=ct.ctx.m,
+        qs=list(ct.ctx.basis.qs),
+        p=ct.params.p,
+        f=ct.f,
+        cs=[cyc_to_proto(c) for c in ct.cs],
+    )
+
+
+def ct_from_proto(msg: pb.SHECiphertext):
+    from . import she
+
+    params = she.SHEParams(
+        m=int(msg.m), p=int(msg.p), qs=tuple(int(q) for q in msg.qs)
+    )
+    cs = tuple(cyc_from_proto(c) for c in msg.cs)
+    return she.CT(params, params.ctx, cs, f=int(msg.f))
+
+
+def linear_to_proto(lin) -> pb.LinearRq:
+    return pb.LinearRq(
+        e=lin.e_ctx.m,
+        r=lin.r_ctx.m,
+        s=lin.s_ctx.m,
+        ys=[cyc_to_proto(y) for y in lin.ys],
+    )
+
+
+def linear_from_proto(msg: pb.LinearRq):
+    from . import linear
+
+    ys = [cyc_from_proto(y) for y in msg.ys]
+    qs = ys[0].ctx.basis.qs
+    return linear.Linear(
+        ring_context(int(msg.e), qs),
+        ring_context(int(msg.r), qs),
+        ring_context(int(msg.s), qs),
+        tuple(ys),
+    )

@@ -53,24 +53,28 @@ def sample_continuous(ctx: RingContext, s: Cyc, var: float, key):
     return a, b
 
 
-def sample_rlwr(ctx: RingContext, ctx2: RingContext, s: Cyc, key) -> RLWESample:
-    """RLWR: b = round(p/q * (a*s)) over the rounding modulus chain ctx2.
-
-    Implemented as the exact scaled-rounding of the decoding coefficients
-    (single-modulus chains)."""
-    if ctx.nrns != 1 or ctx2.nrns != 1:
-        raise ValueError("sample_rlwr: single-modulus chains")
+def _round_scale(ctx: RingContext, ctx2: RingContext, prod: Cyc) -> Cyc:
+    """b = round(q2/q * x) over ctx2, exact int64 host rounding (dec basis)."""
     q = ctx.basis.qs[0]
     q2 = ctx2.basis.qs[0]
-    a = sampling.uniform(ctx, key)
-    prod = (a * s).to_dec()
-    x = prod.data[..., 0, :]
-    # round(x * q2 / q) mod q2, computed exactly in int64 on host
+    x = prod.to_dec().data[..., 0, :]
     xv = np.asarray(x).astype(np.int64)
     b = ((xv * q2 + q // 2) // q) % q2
-    bc = Cyc(ctx2, Rep.DEC, jnp.asarray(b[None].astype(np.uint32)).reshape(
-        *x.shape[:-1], 1, x.shape[-1]))
-    return RLWESample(a, bc)
+    return Cyc(ctx2, Rep.DEC, jnp.asarray(b[..., None, :].astype(np.uint32)))
+
+
+def sample_rlwr(ctx: RingContext, ctx2: RingContext, s: Cyc, key) -> RLWESample:
+    """RLWR: b = round(q2/q * (a*s)) over the rounding modulus chain ctx2
+    (single-modulus chains; deterministic given a and s)."""
+    if ctx.nrns != 1 or ctx2.nrns != 1:
+        raise ValueError("sample_rlwr: single-modulus chains")
+    a = sampling.uniform(ctx, key)
+    return RLWESample(a, _round_scale(ctx, ctx2, a * s))
+
+
+def sample_rlwr_recompute(ctx: RingContext, ctx2: RingContext, a: Cyc, s: Cyc) -> Cyc:
+    """Recompute the deterministic RLWR b from (a, s) — verifier path."""
+    return _round_scale(ctx, ctx2, a * s)
 
 
 def error_term(s: Cyc, samp: RLWESample) -> np.ndarray:
