@@ -1,0 +1,234 @@
+"""L6 — key-homomorphic PRF (BP14) and its homomorphic evaluation.
+
+Analog of `lol-apps/Crypto/Lol/Applications/KeyHomomorphicPRF.hs` and
+`HomomPRF.hs` (SURVEY.md §3.6).
+
+KH-PRF (Banerjee–Peikert 2014, ring version): public parameters are two
+gadget-dimension vectors a0, a1 in R_q^ell; a full binary tree T over the
+input bits defines
+    A_T(x) = a_{x}                        (leaf)
+    A_T(x) = A_l(x_l) * G^{-1}(A_r(x_r))  (internal)
+with G^{-1} the (balanced) gadget decomposition applied entrywise; the
+PRF is  F_s(x) = round_{q->p}( s * A_T(x) ).  Key homomorphism:
+F_{s+t}(x) = F_s(x) + F_t(x) up to +-1 rounding slack per coefficient.
+
+`evalTree`-style incremental evaluation: per-node caches keyed on the
+input assignment; flipping one bit (Gray-code stepping) recomputes only
+the root path.
+
+HomomPRF: EvalHints = key-switch hint + a chain of tunnel hints walking
+down a ring tower + the final plaintext mod-switch; the encrypted PRF
+value rides the SHE plaintext space (p = the PRF modulus).  The linear
+phase (s * A_T(x)) and the ring-tower walk match the reference; the final
+rounding here is the plaintext mod-switch (the reference's MSD-encoded
+homomorphic MSB-rounding is future work, flagged in DESIGN notes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+from . import gadget as gd
+from . import linear as lin
+from . import numtheory as nt
+from . import sampling, she
+from .cyc import Cyc, Rep
+from .ring import RingContext
+
+
+# ---------------------------------------------------------------------------
+# full binary trees (Lol FullBinTree)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Tree:
+    """Full binary tree with `size` leaves (input bits)."""
+
+    left: "Tree | None" = None
+    right: "Tree | None" = None
+
+    @property
+    def is_leaf(self) -> bool:
+        return self.left is None
+
+    @property
+    def size(self) -> int:
+        if self.is_leaf:
+            return 1
+        return self.left.size + self.right.size
+
+
+def leaf() -> Tree:
+    return Tree()
+
+
+def left_spine(n: int) -> Tree:
+    """((((x1 x2) x3) x4) ...): Lol leftSpineTree."""
+    t = leaf()
+    for _ in range(n - 1):
+        t = Tree(t, leaf())
+    return t
+
+
+def right_spine(n: int) -> Tree:
+    t = leaf()
+    for _ in range(n - 1):
+        t = Tree(leaf(), t)
+    return t
+
+
+def balanced(n: int) -> Tree:
+    if n == 1:
+        return leaf()
+    h = n // 2
+    return Tree(balanced(n - h), balanced(h))
+
+
+# ---------------------------------------------------------------------------
+# PRF family
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PRFFamily:
+    """Public params + tree + per-assignment node cache (Lol PRFState)."""
+
+    ctx: RingContext
+    spec: gd.GadgetSpec
+    tree: Tree
+    a0: tuple[Cyc, ...]
+    a1: tuple[Cyc, ...]
+    _cache: dict = field(default_factory=dict)
+
+    @staticmethod
+    def random(ctx: RingContext, spec: gd.GadgetSpec, tree: Tree, key) -> "PRFFamily":
+        ell = gd.num_digits(spec, ctx.basis)
+        ks = jax.random.split(key, 2 * ell)
+        a0 = tuple(sampling.uniform(ctx, k) for k in ks[:ell])
+        a1 = tuple(sampling.uniform(ctx, k) for k in ks[ell:])
+        return PRFFamily(ctx, spec, tree, a0, a1)
+
+    # -- A_T(x) with per-node caching --------------------------------------
+    def _eval_node(self, tree: Tree, bits: tuple[int, ...]) -> tuple[Cyc, ...]:
+        key = (id(tree), bits)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        if tree.is_leaf:
+            out = self.a1 if bits[0] else self.a0
+        else:
+            nl = tree.left.size
+            al = self._eval_node(tree.left, bits[:nl])
+            ar = self._eval_node(tree.right, bits[nl:])
+            out = self._mul_ginv(al, ar)
+        self._cache[key] = out
+        return out
+
+    def _mul_ginv(self, al, ar) -> tuple[Cyc, ...]:
+        """al * G^{-1}(ar): decompose each component of ar, inner products."""
+        ell = len(al)
+        cols = []
+        for i in range(ell):
+            digits = gd.decompose(self.spec, self.ctx.basis, ar[i].to_pow().data)
+            acc = Cyc.zero(self.ctx).to_crt()
+            for j in range(ell):
+                dj = Cyc(self.ctx, Rep.POW, digits[j]).to_crt()
+                acc = acc + al[j].to_crt() * dj
+            cols.append(acc)
+        return tuple(cols)
+
+    def a_t(self, bits) -> tuple[Cyc, ...]:
+        bits = tuple(int(b) & 1 for b in bits)
+        if len(bits) != self.tree.size:
+            raise ValueError(f"PRF input needs {self.tree.size} bits")
+        return self._eval_node(self.tree, bits)
+
+
+def prf_pre_round(fam: PRFFamily, s: Cyc, bits) -> tuple[Cyc, ...]:
+    """s * A_T(x) over R_q — the value before rounding."""
+    at = fam.a_t(bits)
+    sc = s.to_crt()
+    return tuple(sc * a for a in at)
+
+
+def prf(fam: PRFFamily, s: Cyc, bits, p_out: int) -> np.ndarray:
+    """F_s(x): round each decoding coefficient q -> p_out.  Output shape
+    (ell, n) ints mod p_out."""
+    q = fam.ctx.basis.modulus
+    vals = prf_pre_round(fam, s, bits)
+    out = []
+    for v in vals:
+        lifted = v.lift_ints()  # centered
+        out.append(
+            np.array(
+                [int(round(int(c) * p_out / q)) % p_out for c in lifted],
+                dtype=np.int64,
+            )
+        )
+    return np.stack(out)
+
+
+# ---------------------------------------------------------------------------
+# homomorphic PRF evaluation (Lol HomomPRF)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class EvalHints:
+    """Lol EvalHints: KS hint (relinearization after public mults is not
+    needed — mulPublic keeps degree 1 — but the reference carries hints
+    for its tunnel chain), the chain of tunnel hints walking down a
+    cyclotomic tower, and the final plaintext modulus."""
+
+    tunnels: tuple[she.TunnelHint, ...]
+    p_final: int
+
+
+def make_eval_hints(fam: PRFFamily, sks: list[she.SK], rings: list[int],
+                    e_rings: list[int], spec: gd.GadgetSpec, key,
+                    p_final: int = 2) -> tuple[EvalHints, she.SK]:
+    """Build the tunnel chain down `rings` (sks[i] lives in rings[i]);
+    e_rings[i] is the common subring of rings[i] and rings[i+1]."""
+    from .ring import ring_context
+
+    qs = sks[0].params.qs  # ciphertext modulus chain, not the PRF modulus
+    tunnels = []
+    for i in range(len(rings) - 1):
+        key, sub, kl = jax.random.split(key, 3)
+        r_ctx = ring_context(rings[i], qs)
+        s_ctx = ring_context(rings[i + 1], qs)
+        e_ctx = ring_context(e_rings[i], qs)
+        d = r_ctx.n // e_ctx.n
+        # the tower-descent map: twace-like linear map (image of b_0 = 1,
+        # other basis elts -> 0) composed with identity; any E-linear map
+        # works for hint plumbing — use the canonical projection
+        ys = [Cyc.zero(s_ctx) for _ in range(d)]
+        ys[0] = Cyc.scalar(s_ctx, 1)
+        f = lin.linear_pow(e_ctx, r_ctx, s_ctx, ys)
+        tunnels.append(she.tunnel_hint(f, sks[i + 1], sks[i], spec, sub))
+    return EvalHints(tuple(tunnels), p_final), sks[-1]
+
+
+def homom_prf(fam: PRFFamily, hints: EvalHints, ct_s: she.CT, bits) -> she.CT:
+    """Homomorphically evaluate the PRF's linear phase on an encrypted key
+    and walk the result down the tunnel chain, ending with the plaintext
+    modulus switch (the rounding stand-in; see module docstring).
+
+    ct_s encrypts the PRF key s with plaintext modulus p = PRF modulus.
+    Output: encryption of (tower-descended) component 0 of s * A_T(x)."""
+    at = fam.a_t(bits)
+    # public multiply by A_T(x)[0] reduced into the plaintext ring
+    a0_pt = np.array(
+        [int(v) % ct_s.params.p for v in at[0].lift_ints(rep=Rep.POW)],
+        dtype=np.int64,
+    )
+    ct = she.mul_public(ct_s, a0_pt)
+    for th in hints.tunnels:
+        ct = she.tunnel(th, ct)
+    if hints.p_final != ct.params.p:
+        ct = she.mod_switch_pt(ct, hints.p_final)
+    return ct

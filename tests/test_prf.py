@@ -1,0 +1,115 @@
+"""KH-PRF + HomomPRF — Lol KHPRFTests analog (SURVEY §5.3)."""
+
+import numpy as np
+import pytest
+import jax
+
+from lol_tpu import gadget as gd
+from lol_tpu import numtheory as nt
+from lol_tpu import prf, she
+from lol_tpu.cyc import Cyc, Rep
+from lol_tpu.ring import ring_context
+
+Q = nt.ntt_primes(64, 20, 1)[0]  # small PRF modulus
+CTX = ring_context(32, (Q,))
+SPEC = gd.BaseBGad(8)
+
+
+def test_tree_shapes():
+    for mk in (prf.left_spine, prf.right_spine, prf.balanced):
+        t = mk(5)
+        assert t.size == 5
+    assert prf.leaf().size == 1
+
+
+@pytest.fixture(scope="module")
+def fam():
+    return prf.PRFFamily.random(CTX, SPEC, prf.balanced(4), jax.random.PRNGKey(0))
+
+
+def test_prf_deterministic_and_input_sensitive(fam, rng):
+    s = Cyc.from_ints(CTX, rng.integers(-9, 9, CTX.n))
+    out1 = prf.prf(fam, s, (0, 1, 1, 0), 2)
+    out2 = prf.prf(fam, s, (0, 1, 1, 0), 2)
+    np.testing.assert_array_equal(out1, out2)
+    out3 = prf.prf(fam, s, (0, 1, 1, 1), 2)
+    assert not np.array_equal(out1, out3)
+    assert set(np.unique(out1)) <= {0, 1}
+
+
+def test_prf_key_homomorphic(fam, rng):
+    p_out = 2
+    s1 = Cyc.from_ints(CTX, rng.integers(-9, 9, CTX.n))
+    s2 = Cyc.from_ints(CTX, rng.integers(-9, 9, CTX.n))
+    bits = (1, 0, 1, 1)
+    f12 = prf.prf(fam, s1 + s2, bits, p_out)
+    f1 = prf.prf(fam, s1, bits, p_out)
+    f2 = prf.prf(fam, s2, bits, p_out)
+    # equal up to +-1 rounding slack per coefficient (mod p_out)
+    diff = (f12 - f1 - f2) % p_out
+    frac_exact = float(np.mean(diff == 0))
+    assert frac_exact > 0.6
+
+
+def test_incremental_matches_fresh(fam, rng):
+    s = Cyc.from_ints(CTX, rng.integers(-9, 9, CTX.n))
+    bits = (0, 0, 0, 0)
+    base = prf.prf(fam, s, bits, 2)
+    fresh = prf.PRFFamily(fam.ctx, fam.spec, fam.tree, fam.a0, fam.a1)
+    # gray-code walk: flip one bit at a time; cached family == fresh family
+    for flip in (0, 1, 2, 3, 2):
+        bits = tuple(b ^ (1 if i == flip else 0) for i, b in enumerate(bits))
+        np.testing.assert_array_equal(
+            prf.prf(fam, s, bits, 2), prf.prf(fresh, s, bits, 2)
+        )
+    assert len(fam._cache) > 0
+
+
+def test_homom_prf_matches_clear(rng):
+    # SHE plaintext modulus = PRF modulus p; tower 32 -> 16 (E = 16)
+    p = 257
+    qs = tuple(nt.ntt_primes(64, 30, 3))
+    fam = prf.PRFFamily.random(
+        ring_context(32, (p,)), gd.BaseBGad(4), prf.balanced(3),
+        jax.random.PRNGKey(1),
+    )
+    pr = she.SHEParams(m=32, p=p, qs=qs, var=2.0)
+    ps = she.SHEParams(m=16, p=p, qs=qs, var=2.0)
+    key = jax.random.PRNGKey(2)
+    k1, k2, kh, ke = jax.random.split(key, 4)
+    sk_r = she.gen_sk(pr, k1)
+    sk_s = she.gen_sk(ps, k2)
+    hints, sk_out = prf.make_eval_hints(
+        fam, [sk_r, sk_s], [32, 16], [16], gd.RnsGad(), kh, p_final=p
+    )
+    # PRF key s as plaintext (dec-encoded)
+    s_ints = rng.integers(0, p, 16)
+    s_full = np.zeros(16, dtype=np.int64)
+    s_full[:] = s_ints
+    m_s = np.resize(s_full, pr.ctx.n) % p
+    ct_s = she.encrypt(sk_r, m_s, ke)
+    bits = (1, 0, 1)
+    out_ct = prf.homom_prf(fam, hints, ct_s, bits)
+    got = she.decrypt(sk_out, out_ct)
+    # clear pipeline: same ops on the plaintext
+    at0 = fam.a_t(bits)[0]
+    a0_pt = np.array(
+        [int(v) % p for v in at0.lift_ints(rep=Rep.POW)], dtype=np.int64
+    )
+    from lol_tpu import linear as lin
+    aux = tuple(nt.ntt_primes(64, 30, 3))
+    Ra, Sa, Ea = (ring_context(m, aux) for m in (32, 16, 16))
+    x = Cyc.from_ints(Ra, m_s, rep=Rep.DEC) * Cyc.from_ints(Ra, _lift_c(a0_pt, p))
+    ys = [Cyc.zero(Sa) for _ in range(2)]
+    ys[0] = Cyc.scalar(Sa, 1)
+    fa = lin.linear_pow(Ea, Ra, Sa, ys)
+    want_elt = lin.eval_lin(fa, x)
+    want = np.array(
+        [int(v) % p for v in want_elt.lift_ints(rep=Rep.DEC)], dtype=np.int64
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def _lift_c(v, p):
+    v = np.asarray(v, dtype=np.int64) % p
+    return np.where(v >= (p + 1) // 2, v - p, v)
