@@ -60,7 +60,8 @@ def _split(n: int) -> tuple[int, int, int]:
     return k, S, tS
 
 
-def _block_twiddles(plan: NTTPlan, inverse: bool) -> np.ndarray:
+def _block_twiddles(plan: NTTPlan, inverse: bool, S: int | None = None,
+                    tS: int | None = None) -> np.ndarray:
     """(nblk, tS) per-block tables for the within-block stages.
 
     Block b's table has the standard DIT layout: rows [2^sp, 2^(sp+1))
@@ -68,7 +69,9 @@ def _block_twiddles(plan: NTTPlan, inverse: bool) -> np.ndarray:
     s = S+sp and block b are src[2^s + b*2^sp + i'] (the global group
     index of row r in block b is b*2^sp + (r div 2t))."""
     n = plan.n
-    k, S, tS = _split(n)
+    k = n.bit_length() - 1
+    if S is None or tS is None:
+        _, S, tS = _split(n)
     src = plan.ipsi_rev if inverse else plan.psi_rev
     nblk = n // tS
     T = np.zeros((nblk, tS), dtype=np.uint32)
@@ -262,15 +265,19 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool):
     return run
 
 
-def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int = DEFAULT_LANES,
+def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
            interpret: bool = False):
     """Negacyclic NTT over axis 0 of a column-major (n, B) u32 array.
 
-    B must be a multiple of `lanes` (pad the batch axis; lanes=128 keeps
-    full vector-register occupancy)."""
+    B must be a multiple of `lanes`.  By default the widest lane tile in
+    {512, 256, 128} dividing B is used — wider tiles mean fewer grid
+    steps and measurably higher throughput (v5e: 128->512 lanes is
+    ~1.5x at n=4096)."""
     n, B = x.shape
     if n != plan.n:
         raise ValueError(f"ntt_cm: x has n={n}, plan has n={plan.n}")
+    if lanes is None:
+        lanes = next((L for L in (512, 256, 128) if B % L == 0), DEFAULT_LANES)
     if B % lanes != 0:
         raise ValueError(f"ntt_cm: batch {B} not a multiple of lanes={lanes}")
     if n == 1:
