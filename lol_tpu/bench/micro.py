@@ -1,0 +1,87 @@
+"""Per-op microbenchmark table — the criterion/PrettyPrint analog.
+
+Reference: `lol-benches` (`Crypto.Lol.Benchmarks.*` + the Table
+pretty-printer, SURVEY.md §3.7): per-Tensor-method timings over an
+(op x backend x (m, q-chain)) grid, printed as an aligned table.
+
+Run: python -m lol_tpu.bench.micro [--n 4096] [--batch 1024] [--rns 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def _time(fn, args, iters=30):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
+def run(n: int = 4096, batch: int = 1024, nrns: int = 2, use_tpu=True):
+    import jax
+    import jax.numpy as jnp
+
+    from .. import numtheory as nt, zq
+    from ..ops import ntt
+    from ..ops.pallas import ntt_kernel as pk
+
+    qs = nt.ntt_primes(2 * n, 30, nrns)
+    plans = [ntt.ntt_plan(n, q) for q in qs]
+    rng = np.random.default_rng(0)
+    x_cm = [
+        jnp.asarray(rng.integers(0, q, (n, batch), dtype=np.uint64).astype(np.uint32))
+        for q in qs
+    ]
+    x_rm = [xi.T for xi in x_cm]
+    dev = jax.devices()[0].device_kind
+    rows = []
+
+    def add(op, backend, secs, per="poly", count=batch * nrns):
+        rows.append((op, backend, secs * 1e3, count / secs))
+
+    import functools
+
+    jitted_fwd = [ntt._jit_fwd(p) for p in plans]
+    jitted_inv = [ntt._jit_inv(p) for p in plans]
+    add("crt (fwd NTT)", "xla", _time(lambda *a: [f(x) for f, x in zip(jitted_fwd, x_rm)], ()))
+    add("crtInv", "xla", _time(lambda *a: [f(x) for f, x in zip(jitted_inv, x_rm)], ()))
+    add("crt (fwd NTT)", "pallas", _time(lambda *a: [pk.ntt_cm(x, p) for x, p in zip(x_cm, plans)], ()))
+    add("crtInv", "pallas", _time(lambda *a: [pk.ntt_cm(x, p, inverse=True) for x, p in zip(x_cm, plans)], ()))
+
+    mul_j = [
+        __import__("jax").jit(lambda a, b, q=q: zq.mul_mod(a, b, q)) for q in qs
+    ]
+    add("zipWith (*)", "xla", _time(lambda *a: [f(x, x) for f, x in zip(mul_j, x_cm)], ()))
+    add_j = [
+        __import__("jax").jit(lambda a, b, q=q: zq.add_mod(a, b, q)) for q in qs
+    ]
+    add("zipWith (+)", "xla", _time(lambda *a: [f(x, x) for f, x in zip(add_j, x_cm)], ()))
+
+    print(f"\nlol_tpu microbench: n={n}, batch={batch}, nrns={nrns}, device={dev}")
+    print(f"{'op':<16} {'backend':<8} {'ms/call':>10} {'poly-ops/s':>14}")
+    for op, backend, ms, rate in rows:
+        print(f"{op:<16} {backend:<8} {ms:>10.3f} {rate:>14,.0f}")
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--rns", type=int, default=2)
+    args = ap.parse_args()
+    run(args.n, args.batch, args.rns)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""BGV pipeline benchmark: ct-mult + key-switch + rescale ops/sec.
+
+The second BASELINE.json headline metric.  Run:
+    python -m lol_tpu.bench.she_bench [--m 8192] [--rns 3] [--batch 512]
+Prints one JSON line like bench.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def run(m: int = 8192, nrns: int = 3, batch: int = 512, p: int = 257,
+        iters: int = 20):
+    import jax
+    import jax.numpy as jnp
+
+    from .. import gadget as gd, numtheory as nt, she
+    from ..she_batched import BatchedBGV
+
+    qs = tuple(nt.ntt_primes(m, 30, nrns))
+    params = she.SHEParams(m=m, p=p, qs=qs, var=2.0)
+    key = jax.random.PRNGKey(0)
+    ks, kh = jax.random.split(key)
+    sk = she.gen_sk(params, ks)
+    hint = she.ks_quad_circ_hint(sk, gd.RnsGad(), kh)
+    bb = BatchedBGV(params)
+    step = bb.build_step(hint)
+
+    n = params.ctx.n
+    rng = np.random.default_rng(0)
+    arrs = [
+        jnp.asarray(
+            np.stack(
+                [rng.integers(0, q, (n, batch), dtype=np.uint64).astype(np.uint32)
+                 for q in qs]
+            )
+        )
+        for _ in range(4)
+    ]
+    out = step(*arrs)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = step(*arrs)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    rate = batch * iters / dt
+    dev = jax.devices()[0].device_kind
+    print(json.dumps({
+        "metric": f"BGV ct-mult+keyswitch+rescale ops/sec, n={n}, {nrns}x30-bit RNS, {dev}",
+        "value": round(rate),
+        "unit": "ct-op/s",
+        "vs_baseline": None,
+    }))
+    return rate
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=8192)
+    ap.add_argument("--rns", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=512)
+    args = ap.parse_args()
+    run(args.m, args.rns, args.batch)
+
+
+if __name__ == "__main__":
+    main()
