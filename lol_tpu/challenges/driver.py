@@ -107,11 +107,12 @@ def generate(root: Path, params: list[ChallengeParams], seed: int = 0) -> None:
 
 
 def _disc_bound(n: int, var: float, m: int) -> int:
-    """||g e||^2 bound used at generation: n * (6 sigma)^2 * rad scaling."""
+    """||g e||^2 bound used at generation (canonical-embedding Gram norm
+    ~ n * sum e_j^2): n^2 * (6 sigma)^2 * odd-radical slack."""
     from ..factored import fact
 
     rad = fact(m).odd_radical
-    return int(n * (6.0 * math.sqrt(var)) ** 2 * max(rad, 1) * 4)
+    return int(n * n * (6.0 * math.sqrt(var)) ** 2 * max(rad, 1) * 4)
 
 
 def suppress(root: Path, beacon: Beacon | None = None) -> None:

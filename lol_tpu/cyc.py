@@ -202,7 +202,9 @@ class Cyc:
 
     # --- misc -----------------------------------------------------------
     def gsq_norm(self):
-        return rg.gsq_norm_dec_host(self.ctx, self.to_pow().data)
+        """||g * self||^2 in the canonical embedding (Lol gSqNorm); the
+        Gram form applies to decoding-basis coefficients."""
+        return rg.gsq_norm_dec_host(self.ctx, self.to_dec().data)
 
     def __eq__(self, other) -> bool:
         if not isinstance(other, Cyc):

@@ -547,3 +547,63 @@ def coeffs_rel(m_sub: int, m_sup: int, x):
     coeffs of x, same table for both bases)."""
     T = jnp.asarray(rel_coeff_table(m_sub, m_sup))
     return jnp.moveaxis(x[..., T], -2, 0)
+
+
+# ---------------------------------------------------------------------------
+# real/embedding geometry: decoding-basis Gram matrices (host, f64->int)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=256)
+def _dec_basis_complex(m: int) -> np.ndarray:
+    """(n, n) complex matrix E with E[u_idx, j] = sigma_u(d_j): the
+    canonical embedding of the decoding basis, built from the powerful
+    basis embedding and the per-axis L matrices (dec = pow @ L)."""
+    f = fact(m)
+    n = f.phi
+    # powerful-basis exponents E(j)
+    shape = f.phi_shape
+    exps = np.zeros(n, dtype=np.int64)
+    for flat in range(n):
+        idx = np.unravel_index(flat, shape)
+        exps[flat] = sum(int(j) * (m // pp.value) for j, pp in zip(idx, f.pps)) % m
+    units = [u for u in range(max(m, 1)) if np.gcd(u, m) == 1] or [0]
+    w = np.exp(2j * np.pi / max(m, 1))
+    P = np.array([[w ** (u * e) for e in exps] for u in units])  # (n, n)
+    # dec basis: d = sum_j pow_j * Lmat[j, i]? pow coeffs of dec elt i are
+    # L applied to the indicator: dec_i = sum_j L[j, i]-ish; reuse the jnp
+    # L on identity over a big prime to extract the integer matrix
+    q = nt.ntt_primes(max(m, 2) if m % 2 else m, 30, 1)[0] if m > 2 else 7681
+    plan = general_plan(m, q) if m > 1 else None
+    eye = np.eye(n, dtype=np.uint32)
+    if m > 1:
+        Lm = np.stack([np.asarray(l(plan, jnp.asarray(eye[i][None])))[0]
+                       for i in range(n)], axis=1)
+    else:
+        Lm = eye
+    # entries of Lm are 0/1 integers mod q: safe to cast
+    Lint = Lm.astype(np.int64)
+    assert Lint.max() <= 1, "L matrix should be 0/1"
+    return P @ Lint
+
+
+@lru_cache(maxsize=256)
+def gram_g_dec(m: int) -> np.ndarray:
+    """Integer Gram matrix G with ||g x||^2 = x^T G x for x in the
+    decoding basis (canonical-embedding norm; Lol gSqNormDec's form)."""
+    f = fact(m)
+    E = _dec_basis_complex(m)
+    # multiply each column by sigma(g): g = prod_{odd p} (1 - zeta_p)
+    units = [u for u in range(max(m, 1)) if np.gcd(u, m) == 1] or [0]
+    w = np.exp(2j * np.pi / max(m, 1))
+    gvals = np.ones(len(units), dtype=complex)
+    for pp in f.pps:
+        if pp.p == 2:
+            continue
+        zp = m // pp.p
+        gvals *= 1 - np.array([w ** (u * zp) for u in units])
+    Eg = E * gvals[:, None]
+    G = (Eg.conj().T @ Eg).real
+    Gi = np.rint(G).astype(np.int64)
+    assert np.max(np.abs(G - Gi)) < 1e-4, "Gram not integral"
+    return Gi

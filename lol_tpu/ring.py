@@ -327,16 +327,20 @@ def lift_centered_host(ctx: RingContext, x) -> np.ndarray:
 
 
 def gsq_norm_dec_host(ctx: RingContext, x) -> np.ndarray:
-    """||g x||^2 in the decoding basis (Lol gSqNormDec), exact on host.
-
-    For 2-power m, g = 1 and the decoding basis is orthogonal in the
-    canonical embedding up to scale: the norm is n * sum_j lift(x_j)^2
-    ... we report the coefficient sum-of-squares (the quantity the
-    challenge verifier bounds); general-m adds the Gram form."""
-    if not ctx.fm.is_pow2():
-        raise NotImplementedError
+    """||g x||^2 (canonical-embedding norm) from decoding-basis residues
+    (Lol gSqNormDec), exact on host: x^T G x with the integer Gram matrix
+    of the g-scaled decoding basis.  For 2-power m, G = n*I."""
     lifted = lift_centered_host(ctx, x)
     flat = lifted.reshape(-1, ctx.n) if lifted.ndim > 1 else lifted[None]
-    return np.array(
-        [sum(int(v) * int(v) for v in row) for row in flat], dtype=object
-    ).reshape(lifted.shape[:-1] or (1,))
+    if ctx.fm.is_pow2():
+        return np.array(
+            [ctx.n * sum(int(v) * int(v) for v in row) for row in flat],
+            dtype=object,
+        ).reshape(lifted.shape[:-1] or (1,))
+    G = gen.gram_g_dec(ctx.m)
+    out = []
+    for row in flat:
+        r = [int(v) for v in row]
+        out.append(sum(int(G[i, j]) * r[i] * r[j]
+                       for i in range(ctx.n) for j in range(ctx.n)))
+    return np.array(out, dtype=object).reshape(lifted.shape[:-1] or (1,))

@@ -46,11 +46,37 @@ def real_gaussians(key, var: float, shape) -> jnp.ndarray:
     )
 
 
+def _dec_mixing_matrix(m: int) -> np.ndarray:
+    """L with L L^T = Gram_dec(m)^{-1}: maps iid N(0,1) to decoding-basis
+    coordinates of a spherical canonical-embedding Gaussian (variance 1
+    per embedding coordinate).  2-power m: (1/sqrt(n)) I."""
+    from .factored import fact as _fact
+    from .ops import general as _gen
+
+    f = _fact(m)
+    if f.is_pow2():
+        return np.eye(f.phi) / np.sqrt(max(f.phi, 1))
+    E = _gen._dec_basis_complex(m)
+    gram = (E.conj().T @ E).real
+    cov = np.linalg.inv(gram)
+    return np.linalg.cholesky(cov)
+
+
 def gaussian_dec_ints(ctx: RingContext, key, var: float,
                       batch: tuple[int, ...] = ()) -> jnp.ndarray:
     """Rounded decoding-basis Gaussian as signed int32 coefficients
-    (Lol tweakedGaussianDec + errorRounded)."""
+    (Lol tweakedGaussianDec + errorRounded).
+
+    Convention: `var` is the per-coefficient variance for 2-power m
+    (where the decoding basis is orthogonal, scale sqrt(n), this equals a
+    spherical embedding Gaussian of variance n*var); general m uses the
+    same normalization via the decoding-basis mixing matrix."""
     g = real_gaussians(key, var, (*batch, ctx.n))
+    if not ctx.fm.is_pow2():
+        L = jnp.asarray(
+            (_dec_mixing_matrix(ctx.m) * np.sqrt(ctx.n)).astype(np.float32)
+        )
+        g = jnp.einsum("ij,...j->...i", L, g)
     return jnp.round(g).astype(jnp.int32)
 
 

@@ -154,3 +154,56 @@ def test_twace_pow_agrees_with_crt_path(msub, msup, rng):
     via_crt = gen.crt_inv(ps, gen.twace_crt(msub, msup, q, gen.crt(pS, x)))
     direct = gen.twace_pow(msub, msup, x)
     np.testing.assert_array_equal(np.asarray(direct), np.asarray(via_crt))
+
+
+def test_gram_g_dec_properties():
+    from lol_tpu.ops.general import gram_g_dec
+    from lol_tpu.factored import fact as _fact
+
+    for m in (3, 9, 12, 36):
+        G = gram_g_dec(m)
+        n = _fact(m).phi
+        assert G.shape == (n, n)
+        assert np.array_equal(G, G.T)
+        evs = np.linalg.eigvalsh(G.astype(np.float64))
+        assert evs.min() > 0  # positive definite
+
+
+def test_gsq_norm_matches_direct_embedding(rng):
+    import math
+    from lol_tpu.cyc import Cyc
+    from lol_tpu.ring import ring_context
+
+    m = 12
+    q = nt.ntt_primes(12, 30, 1)[0]
+    ctx = ring_context(m, (q,))
+    from lol_tpu.cyc import Rep
+
+    coeffs = rng.integers(-5, 6, ctx.n)
+    c = Cyc.from_ints(ctx, coeffs, rep=Rep.DEC)
+    got = int(np.atleast_1d(c.gsq_norm())[0])
+    # direct: ||sigma(g x)||^2 in complex embedding
+    from lol_tpu.ops.general import _dec_basis_complex
+    E = _dec_basis_complex(m)
+    units = [u for u in range(m) if math.gcd(u, m) == 1]
+    w = np.exp(2j * np.pi / m)
+    gvals = 1 - np.array([w ** (u * (m // 3)) for u in units])
+    v = (E @ coeffs.astype(float)) * gvals
+    want = float(np.sum(np.abs(v) ** 2))
+    assert abs(got - want) < 1e-3 * max(1.0, want)
+
+
+def test_general_m_gaussian_statistics():
+    import jax
+    from lol_tpu import sampling
+    from lol_tpu.ring import ring_context
+
+    m = 36
+    q = nt.ntt_primes(36, 30, 1)[0]
+    ctx = ring_context(m, (q,))
+    ints = np.asarray(
+        sampling.gaussian_dec_ints(ctx, jax.random.PRNGKey(0), 16.0, (200,))
+    )
+    assert ints.shape == (200, 12)
+    assert abs(float(ints.mean())) < 1.0
+    assert 1.0 < float(ints.std()) < 30.0

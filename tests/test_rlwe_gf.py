@@ -21,7 +21,7 @@ def test_rlwe_discrete_error_recovery(rng):
     e = rlwe.error_term(s, samp)
     mags = [abs(int(v)) for v in e.reshape(-1)]
     assert max(mags) < 30  # ~ 9-sigma of var 9
-    assert rlwe.valid_instance(s, samp, bound=CTX.n * 30**2)
+    assert rlwe.valid_instance(s, samp, bound=CTX.n**2 * 30**2)  # Gram norm ~ n * sum e^2
     assert not rlwe.valid_instance(s, samp, bound=0)
 
 
