@@ -62,12 +62,10 @@ class RingContext:
         return self.basis.nrns
 
     def __post_init__(self):
-        for mod in self.basis.moduli:
-            req = 2 * self.n if self.fm.is_pow2() else self.m
-            if self.m > 1 and not mod.has_crt(req):
-                raise ValueError(
-                    f"modulus {mod.q} admits no CRT for m={self.m}"
-                )
+        # CRT availability is checked lazily (crt() raises) — plaintext
+        # rings R_{p^k} legitimately have no CRT basis (Lol CRTSentinel
+        # E-route; the complex-embedding fallback covers char-0 needs).
+        pass
 
     def has_crt(self) -> bool:
         return all(mod.has_crt(2 * self.n if self.fm.is_pow2() else self.m)
@@ -143,6 +141,11 @@ def _per_residue_gen(ctx: RingContext, x, fn):
 def crt(ctx: RingContext, x) -> jnp.ndarray:
     """Powerful -> CRT basis (Lol Tensor.crt).  2-power: negacyclic NTT;
     general m: prime-power tensor transforms (ops/general.py)."""
+    if ctx.m > 1 and not ctx.has_crt():
+        raise ValueError(
+            f"no CRT basis over qs={ctx.basis.qs} for m={ctx.m} "
+            "(need m | q-1; Lol's CSentinel unavailable)"
+        )
     if ctx.fm.is_pow2():
         return _per_residue(ctx, x, lambda c, p: ntt.ntt_forward_stages(c, p))
     return _per_residue_gen(ctx, x, lambda c, p: gen.crt(p, c))
