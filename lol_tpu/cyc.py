@@ -200,6 +200,20 @@ class Cyc:
             out.append(Cyc.from_ints(sup_ctx, v))
         return out
 
+    def galois(self, k: int) -> "Cyc":
+        """The Galois automorphism sigma_k : zeta -> zeta^k (gcd(k,m)=1).
+
+        In the CRT basis this is a slot permutation (slot at unit u reads
+        the old slot at u*k); underlies slot rotations for packed
+        plaintexts (Lol: via ZmStar indexing)."""
+        from . import zmstar
+
+        perm = zmstar.automorphism_slot_perm(
+            self.ctx.m, self.ctx.basis.qs[0], k
+        )
+        c = self.to_crt()
+        return Cyc(self.ctx, Rep.CRT, c.data[..., jnp.asarray(perm)])
+
     # --- misc -----------------------------------------------------------
     def gsq_norm(self):
         """||g * self||^2 in the canonical embedding (Lol gSqNorm); the
