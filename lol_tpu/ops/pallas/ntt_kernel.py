@@ -92,38 +92,113 @@ def _wb(w, m, u_shape):
     return jnp.broadcast_to(w.reshape(target), u_shape)
 
 
-def _ntt_net_fwd(x, q, nloc, read_w):
+def _fwd_stage2(x, q, nloc, s, read_w):
+    """One radix-2 DIT stage."""
+    m = 1 << s
+    t = nloc >> (s + 1)
+    rest = x.shape[1:]
+    w, wsh = read_w(m, m)
+    xs = x.reshape(m, 2, t, *rest)
+    u = xs[:, 0]
+    v = zq.mul_mod_shoup(xs[:, 1], _wb(w, m, u.shape), _wb(wsh, m, u.shape), q)
+    return jnp.stack([zq.add_mod(u, v, q), zq.sub_mod(u, v, q)], axis=1).reshape(
+        nloc, *rest
+    )
+
+
+def _fwd_stage4(x, q, nloc, s, read_w):
+    """Two fused DIT stages (radix-4): same multiply count as two radix-2
+    stages but one reshape/stack relayout pass instead of two."""
+    m = 1 << s
+    t2 = nloc >> (s + 2)
+    rest = x.shape[1:]
+    wc, wcs = read_w(m, m)
+    wn, wns = read_w(2 * m, 2 * m)  # (2m, lanes): rows 2i, 2i+1
+    w0, w0s = wn.reshape(m, 2, -1)[:, 0], wns.reshape(m, 2, -1)[:, 0]
+    w1, w1s = wn.reshape(m, 2, -1)[:, 1], wns.reshape(m, 2, -1)[:, 1]
+    xs = x.reshape(m, 4, t2, *rest)
+    A, B, C, D = xs[:, 0], xs[:, 1], xs[:, 2], xs[:, 3]
+    sh = A.shape
+    wcC = zq.mul_mod_shoup(C, _wb(wc, m, sh), _wb(wcs, m, sh), q)
+    wcD = zq.mul_mod_shoup(D, _wb(wc, m, sh), _wb(wcs, m, sh), q)
+    A1 = zq.add_mod(A, wcC, q)
+    C1 = zq.sub_mod(A, wcC, q)
+    B1 = zq.add_mod(B, wcD, q)
+    D1 = zq.sub_mod(B, wcD, q)
+    w0B = zq.mul_mod_shoup(B1, _wb(w0, m, sh), _wb(w0s, m, sh), q)
+    w1D = zq.mul_mod_shoup(D1, _wb(w1, m, sh), _wb(w1s, m, sh), q)
+    return jnp.stack(
+        [
+            zq.add_mod(A1, w0B, q),
+            zq.sub_mod(A1, w0B, q),
+            zq.add_mod(C1, w1D, q),
+            zq.sub_mod(C1, w1D, q),
+        ],
+        axis=1,
+    ).reshape(nloc, *rest)
+
+
+def _ntt_net_fwd(x, q, nloc, read_w, radix4=False):
     """DIT network along axis 0 (length nloc); trailing axes carried."""
     kloc = nloc.bit_length() - 1
-    rest = x.shape[1:]
-    for s in range(kloc):
-        m = 1 << s
-        t = nloc >> (s + 1)
-        w, wsh = read_w(m, m)
-        xs = x.reshape(m, 2, t, *rest)
-        u = xs[:, 0]
-        v = zq.mul_mod_shoup(xs[:, 1], _wb(w, m, u.shape), _wb(wsh, m, u.shape), q)
-        x = jnp.stack([zq.add_mod(u, v, q), zq.sub_mod(u, v, q)], axis=1).reshape(
-            nloc, *rest
-        )
+    s = 0
+    while s < kloc:
+        if radix4 and s + 2 <= kloc:
+            x = _fwd_stage4(x, q, nloc, s, read_w)
+            s += 2
+        else:
+            x = _fwd_stage2(x, q, nloc, s, read_w)
+            s += 1
     return x
 
 
-def _ntt_net_inv(x, q, nloc, read_w):
+def _inv_stage2(x, q, nloc, s, read_w):
+    h = 1 << s
+    rest = x.shape[1:]
+    w, wsh = read_w(h, h)
+    xs = x.reshape(h, 2, nloc >> (s + 1), *rest)
+    u = xs[:, 0]
+    v = xs[:, 1]
+    d = zq.mul_mod_shoup(
+        zq.sub_mod(u, v, q), _wb(w, h, u.shape), _wb(wsh, h, u.shape), q
+    )
+    return jnp.stack([zq.add_mod(u, v, q), d], axis=1).reshape(nloc, *rest)
+
+
+def _inv_stage4(x, q, nloc, s, read_w):
+    """Two fused GS stages (s+1 then s), radix-4."""
+    h = 1 << s
+    t2 = nloc >> (s + 2)
+    rest = x.shape[1:]
+    wc, wcs = read_w(h, h)  # stage s twiddles
+    wn, wns = read_w(2 * h, 2 * h)  # stage s+1 twiddles, rows 2i / 2i+1
+    w0, w0s = wn.reshape(h, 2, -1)[:, 0], wns.reshape(h, 2, -1)[:, 0]
+    w1, w1s = wn.reshape(h, 2, -1)[:, 1], wns.reshape(h, 2, -1)[:, 1]
+    xs = x.reshape(h, 4, t2, *rest)
+    a, b, c, d = xs[:, 0], xs[:, 1], xs[:, 2], xs[:, 3]
+    sh = a.shape
+    a1 = zq.add_mod(a, b, q)
+    b1 = zq.mul_mod_shoup(zq.sub_mod(a, b, q), _wb(w0, h, sh), _wb(w0s, h, sh), q)
+    c1 = zq.add_mod(c, d, q)
+    d1 = zq.mul_mod_shoup(zq.sub_mod(c, d, q), _wb(w1, h, sh), _wb(w1s, h, sh), q)
+    o2 = zq.mul_mod_shoup(zq.sub_mod(a1, c1, q), _wb(wc, h, sh), _wb(wcs, h, sh), q)
+    o3 = zq.mul_mod_shoup(zq.sub_mod(b1, d1, q), _wb(wc, h, sh), _wb(wcs, h, sh), q)
+    return jnp.stack(
+        [zq.add_mod(a1, c1, q), zq.add_mod(b1, d1, q), o2, o3], axis=1
+    ).reshape(nloc, *rest)
+
+
+def _ntt_net_inv(x, q, nloc, read_w, radix4=False):
     """GS inverse network along axis 0; stages high->low; no 1/n scale."""
     kloc = nloc.bit_length() - 1
-    rest = x.shape[1:]
-    for s in reversed(range(kloc)):
-        h = 1 << s
-        t = nloc >> (s + 1)
-        w, wsh = read_w(h, h)
-        xs = x.reshape(h, 2, t, *rest)
-        u = xs[:, 0]
-        v = xs[:, 1]
-        d = zq.mul_mod_shoup(
-            zq.sub_mod(u, v, q), _wb(w, h, u.shape), _wb(wsh, h, u.shape), q
-        )
-        x = jnp.stack([zq.add_mod(u, v, q), d], axis=1).reshape(nloc, *rest)
+    s = kloc - 1
+    while s >= 0:
+        if radix4 and s >= 1:
+            x = _inv_stage4(x, q, nloc, s - 1, read_w)
+            s -= 2
+        else:
+            x = _inv_stage2(x, q, nloc, s, read_w)
+            s -= 1
     return x
 
 
@@ -131,7 +206,7 @@ def _ntt_net_inv(x, q, nloc, read_w):
 
 
 def _kernel_cross(x_ref, w_ref, wsh_ref, o_ref, *, q, P, inverse, n_inv,
-                  n_inv_sh):
+                  n_inv_sh, radix4=False):
     """Cross-block stages: block (P, G, lanes), NTT along axis 0.  The
     first S global stages use group indices < P, so the twiddle tables
     are just the plain DIT prefix psi_rev[:P]."""
@@ -141,15 +216,15 @@ def _kernel_cross(x_ref, w_ref, wsh_ref, o_ref, *, q, P, inverse, n_inv,
         return w_ref[lo : lo + m, :], wsh_ref[lo : lo + m, :]
 
     if inverse:
-        x = _ntt_net_inv(x, q, P, read_w)
+        x = _ntt_net_inv(x, q, P, read_w, radix4)
         x = zq.mul_mod_shoup(x, jnp.uint32(n_inv), jnp.uint32(n_inv_sh), q)
     else:
-        x = _ntt_net_fwd(x, q, P, read_w)
+        x = _ntt_net_fwd(x, q, P, read_w, radix4)
     o_ref[...] = x
 
 
 def _kernel_block(x_ref, w_ref, wsh_ref, o_ref, *, q, tS, inverse, n_inv,
-                  n_inv_sh):
+                  n_inv_sh, radix4=False):
     """Within-block stages: block (1, tS, lanes), NTT along axis 1 with
     this block's private twiddle table."""
     x = x_ref[0]
@@ -160,11 +235,11 @@ def _kernel_block(x_ref, w_ref, wsh_ref, o_ref, *, q, tS, inverse, n_inv,
         return w_all[lo : lo + m, :], wsh_all[lo : lo + m, :]
 
     if inverse:
-        x = _ntt_net_inv(x, q, tS, read_w)
+        x = _ntt_net_inv(x, q, tS, read_w, radix4)
         if n_inv is not None:
             x = zq.mul_mod_shoup(x, jnp.uint32(n_inv), jnp.uint32(n_inv_sh), q)
     else:
-        x = _ntt_net_fwd(x, q, tS, read_w)
+        x = _ntt_net_fwd(x, q, tS, read_w, radix4)
     o_ref[0] = x
 
 
@@ -172,7 +247,8 @@ def _kernel_block(x_ref, w_ref, wsh_ref, o_ref, *, q, tS, inverse, n_inv,
 
 
 @lru_cache(maxsize=512)
-def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool):
+def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
+           radix4: bool = False):
     """Jitted (n, B) -> (n, B) column-major negacyclic NTT."""
     n, q = plan.n, plan.q
     k, S, tS = _split(n)
@@ -198,7 +274,7 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool):
         B = x3.shape[-1]
         kern = partial(
             _kernel_cross, q=q, P=P, inverse=inverse,
-            n_inv=plan.n_inv, n_inv_sh=plan.n_inv_sh,
+            n_inv=plan.n_inv, n_inv_sh=plan.n_inv_sh, radix4=radix4,
         )
         return pl.pallas_call(
             kern,
@@ -226,7 +302,7 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool):
         kern = partial(
             _kernel_block, q=q, tS=tS, inverse=inverse,
             n_inv=plan.n_inv if scale_in_block else None,
-            n_inv_sh=plan.n_inv_sh if scale_in_block else None,
+            n_inv_sh=plan.n_inv_sh if scale_in_block else None, radix4=radix4,
         )
         return pl.pallas_call(
             kern,
@@ -266,7 +342,7 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool):
 
 
 def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
-           interpret: bool = False):
+           interpret: bool = False, radix4: bool = False):
     """Negacyclic NTT over axis 0 of a column-major (n, B) u32 array.
 
     B must be a multiple of `lanes`.  By default the widest lane tile in
@@ -282,7 +358,7 @@ def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
         raise ValueError(f"ntt_cm: batch {B} not a multiple of lanes={lanes}")
     if n == 1:
         return x
-    return _build(plan, inverse, lanes, interpret)(x)
+    return _build(plan, inverse, lanes, interpret, radix4)(x)
 
 
 def ntt_batched(x, plan: NTTPlan, inverse: bool = False, interpret: bool = False):

@@ -105,10 +105,13 @@ def gaussian_ints_np(ctx_or_n, key, var: float) -> np.ndarray:
     raise TypeError
 
 
-def error_coset(ctx: RingContext, key, var: float, coset: Cyc) -> Cyc:
-    """Sample from coset + p*Gaussian-ish: Lol errorCoset samples an error
-    congruent to `coset` (a mod-p element embedded): here: coset + p*e.
-
-    Used by encrypt: the encrypted message rides as the coset of the
+def error_coset(ctx: RingContext, key, var: float, coset_ints, p: int) -> Cyc:
+    """Sample an error congruent to `coset_ints` mod p (Lol errorCoset):
+    e = coset + p * round(Gaussian), in the decoding basis.  This is the
+    sampling encrypt uses — the message rides as the coset of the
     error."""
-    raise NotImplementedError("use she.encrypt's explicit m + p*e form")
+    import numpy as _np
+
+    g = gaussian_dec_ints(ctx, key, var)
+    ints = _np.asarray(coset_ints, dtype=_np.int64) + p * _np.asarray(g, dtype=_np.int64)
+    return Cyc(ctx, Rep.DEC, _ints_to_rns(ctx, jnp.asarray(ints, dtype=jnp.int32)))

@@ -75,12 +75,16 @@ class SK:
 
 @dataclass(frozen=True)
 class CT:
-    """Ciphertext: components c_i with c(s) = f*m + p*e (mod Q)."""
+    """Ciphertext with one of the reference's two encodings:
+    - "lsd" (default): c(s) = f*m + p*e      (mod Q)
+    - "msd":           c(s) = round(Q/p)*m + e  (mod Q)
+    """
 
     params: SHEParams
     ctx: RingContext  # current ring/modulus (changes under mod/ring switch)
     cs: tuple[Cyc, ...]
     f: int = 1  # scale factor in Z_p^* (Lol's LSD scale)
+    encoding: str = "lsd"
 
     @property
     def degree(self) -> int:
@@ -144,6 +148,25 @@ def encrypt(sk: SK, m_ints: np.ndarray, key) -> CT:
     return CT(params, ctx, (c0, c1), f=1)
 
 
+def encrypt_msd(sk: SK, m_ints: np.ndarray, key) -> CT:
+    """MSD ("most significant digit") encoding: c(s) = Delta*m + e with
+    Delta = round(Q/p); decrypt rounds (p/Q)*c(s) (Lol's MSD encoding)."""
+    params = sk.params
+    ctx = params.ctx
+    Q = ctx.basis.modulus
+    delta = Q // params.p
+    k_err, k_unif = jax.random.split(key)
+    e = np.asarray(
+        sampling.gaussian_dec_ints(ctx, k_err, params.var), dtype=np.int64
+    )
+    m_arr = np.asarray(m_ints, dtype=object) % params.p
+    scaled = np.array([int(v) * delta for v in m_arr], dtype=object) + e
+    msg_err = Cyc.from_ints(ctx, scaled, rep=Rep.DEC)
+    c1 = sampling.uniform(ctx, k_unif)
+    c0 = msg_err - c1 * sk.s_cyc(ctx)
+    return CT(params, ctx, (c0, c1), f=1, encoding="msd")
+
+
 def _eval_at_s(sk: SK, ct: CT) -> Cyc:
     """c(s) = sum c_i s^i via Horner in the CRT domain."""
     s = sk.s_cyc(ct.ctx)
@@ -154,9 +177,15 @@ def _eval_at_s(sk: SK, ct: CT) -> Cyc:
 
 
 def decrypt(sk: SK, ct: CT) -> np.ndarray:
-    """Centered lift of c(s), reduce mod p, undo the scale factor f."""
+    """LSD: centered lift mod p (undo f); MSD: round (p/Q)*lift."""
     d = _eval_at_s(sk, ct).lift_ints()  # object ints, centered
     p = ct.params.p
+    if ct.encoding == "msd":
+        Q = ct.ctx.basis.modulus
+        return np.array(
+            [int(round(int(v) * p / Q)) % p for v in d.reshape(-1)],
+            dtype=np.int64,
+        ).reshape(d.shape)
     finv = nt.modinv(ct.f, p)
     return np.array([(int(v) % p) * finv % p for v in d.reshape(-1)],
                     dtype=np.int64).reshape(d.shape)
@@ -192,6 +221,8 @@ def noise_bits(sk: SK, ct: CT) -> float:
 def _align(a: CT, b: CT) -> tuple[CT, CT]:
     if a.ctx != b.ctx:
         raise ValueError("CT op across different rings/moduli")
+    if a.encoding != b.encoding:
+        raise ValueError("CT op across encodings (lsd vs msd)")
     if a.f == b.f:
         return a, b
     p = a.params.p
@@ -210,7 +241,8 @@ def ct_add(a: CT, b: CT) -> CT:
         la.append(Cyc.zero(a.ctx))
     while len(lb) < len(la):
         lb.append(Cyc.zero(a.ctx))
-    return CT(a.params, a.ctx, tuple(x + y for x, y in zip(la, lb)), f=a.f)
+    return CT(a.params, a.ctx, tuple(x + y for x, y in zip(la, lb)), f=a.f,
+              encoding=a.encoding)
 
 
 def ct_sub(a: CT, b: CT) -> CT:
@@ -223,6 +255,11 @@ def ct_mul(a: CT, b: CT) -> CT:
     """Component-list convolution: degree grows (Lol CT (*))."""
     if a.ctx != b.ctx:
         raise ValueError("CT mul across different rings/moduli")
+    if a.encoding != "lsd" or b.encoding != "lsd":
+        raise ValueError(
+            "ct_mul: MSD x MSD needs an interleaved rescale (Lol tracks "
+            "MSD/LSD through (*)); convert or use LSD ciphertexts"
+        )
     ca = [c.to_crt() for c in a.cs]
     cb = [c.to_crt() for c in b.cs]
     out = [Cyc.zero(a.ctx).to_crt() for _ in range(len(ca) + len(cb) - 1)]

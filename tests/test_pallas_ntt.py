@@ -37,3 +37,13 @@ def test_pallas_nonmultiple_batch_padding(rng):
     a = rng.integers(0, q, (3, n), dtype=np.uint64).astype(np.uint32)
     got = np.asarray(pk.ntt_batched(jnp.asarray(a), plan, interpret=True))
     np.testing.assert_array_equal(got, ntt.np_ntt_forward(a, plan))
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_radix4_matches_radix2(inverse, rng):
+    n, q = 1024, 12289
+    plan = ntt.ntt_plan(n, q)
+    a = jnp.asarray(rng.integers(0, q, (n, 128), dtype=np.uint64).astype(np.uint32))
+    r2 = pk.ntt_cm(a, plan, inverse=inverse, interpret=True)
+    r4 = pk.ntt_cm(a, plan, inverse=inverse, interpret=True, radix4=True)
+    np.testing.assert_array_equal(np.asarray(r2), np.asarray(r4))

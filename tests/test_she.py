@@ -201,3 +201,24 @@ def _pt_mul_general(params, a, b):
         Cyc.from_ints(ctx, a, rep=_Rep.DEC) * Cyc.from_ints(ctx, b, rep=_Rep.DEC)
     ).lift_ints(rep=_Rep.DEC)
     return np.array([int(v) % params.p for v in prod], dtype=np.int64)
+
+
+def test_msd_encoding_roundtrip_and_add(rng):
+    sk = she.gen_sk(PARAMS, jax.random.PRNGKey(21))
+    m1, m2 = she.pt_random(PARAMS, rng), she.pt_random(PARAMS, rng)
+    c1 = she.encrypt_msd(sk, m1, jax.random.PRNGKey(22))
+    c2 = she.encrypt_msd(sk, m2, jax.random.PRNGKey(23))
+    np.testing.assert_array_equal(she.decrypt(sk, c1), m1)
+    s = she.ct_add(c1, c2)
+    assert s.encoding == "msd"
+    np.testing.assert_array_equal(she.decrypt(sk, s), she.pt_add(PARAMS, m1, m2))
+
+
+def test_error_coset_sampling():
+    from lol_tpu import sampling
+    ctx = PARAMS.ctx
+    coset = np.arange(ctx.n) % PARAMS.p
+    e = sampling.error_coset(ctx, jax.random.PRNGKey(5), 4.0, coset, PARAMS.p)
+    lifted = e.lift_ints()
+    got = np.array([int(v) % PARAMS.p for v in lifted])
+    np.testing.assert_array_equal(got, coset)
