@@ -1,0 +1,89 @@
+"""Multi-device scaling report: NTT ops/s at 1 chip vs N chips.
+
+BASELINE.md asks for NTT ops/s scaling efficiency at 1 chip / 1 host /
+N>=2 hosts.  This sandbox exposes ONE physical TPU chip, so:
+- on real multi-chip slices this script reports true scaling (same code:
+  the mesh just gets bigger);
+- here it demonstrates the machinery on the virtual CPU mesh
+  (--platform cpu --devices 8), where "efficiency" reflects the
+  simulator, not ICI.
+
+Run: python -m lol_tpu.bench.scaling [--devices 8] [--platform cpu]
+Prints one JSON line per mesh size.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def run(n=2048, nrns=4, batch_per_dev=64, platform=None, max_devices=None):
+    import os
+
+    if platform:
+        os.environ.setdefault("JAX_PLATFORMS", platform)
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+
+    from .. import numtheory as nt
+    from ..ops import ntt
+    from ..parallel import sharding as sh
+
+    qs = nt.ntt_primes(2 * n, 30, nrns)
+    plans = [ntt.ntt_plan(n, q) for q in qs]
+    devs = jax.devices()
+    if max_devices:
+        devs = devs[:max_devices]
+    rng = np.random.default_rng(0)
+    results = []
+    sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= len(devs)]
+    base_rate = None
+    for nd in sizes:
+        ddp = nd  # pure data-parallel scaling of the batched NTT
+        mesh = sh.make_mesh({"data": ddp, "rns": 1}, devices=devs)
+        B = batch_per_dev * ddp
+        x = np.stack([
+            rng.integers(0, q, (B, n), dtype=np.uint64).astype(np.uint32)
+            for q in qs
+        ])
+        xs = sh.shard_batch_rns(mesh, jnp.asarray(x))
+        out = sh.batched_ntt_sharded(mesh, xs, plans)
+        jax.block_until_ready(out)
+        iters = 10
+        t0 = time.time()
+        for _ in range(iters):
+            out = sh.batched_ntt_sharded(mesh, out, plans)
+        jax.block_until_ready(out)
+        dt = time.time() - t0
+        rate = B * iters / dt
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * nd)
+        results.append((nd, rate, eff))
+        print(json.dumps({
+            "metric": f"batched NTT polys/sec, n={n}, {nrns}-prime RNS, {nd} devices",
+            "value": round(rate),
+            "unit": "poly/s",
+            "vs_baseline": round(eff, 3),
+        }))
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=None)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--n", type=int, default=2048)
+    args = ap.parse_args()
+    run(n=args.n, platform=args.platform, max_devices=args.devices)
+
+
+if __name__ == "__main__":
+    main()
