@@ -342,13 +342,13 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
 
 
 def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
-           interpret: bool = False, radix4: bool = False):
+           interpret: bool = False, radix4: bool = True):
     """Negacyclic NTT over axis 0 of a column-major (n, B) u32 array.
 
-    B must be a multiple of `lanes`.  By default the widest lane tile in
-    {512, 256, 128} dividing B is used — wider tiles mean fewer grid
-    steps and measurably higher throughput (v5e: 128->512 lanes is
-    ~1.5x at n=4096)."""
+    B must be a multiple of `lanes`.  Defaults tuned on v5e at n=4096:
+    widest lane tile in {512, 256, 128} dividing B (fewer grid steps,
+    ~1.5x over 128) and radix-4 fused stages (~1.1x over radix-2: same
+    multiply count, half the reshape/stack relayout passes)."""
     n, B = x.shape
     if n != plan.n:
         raise ValueError(f"ntt_cm: x has n={n}, plan has n={plan.n}")
