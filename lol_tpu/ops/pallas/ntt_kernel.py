@@ -87,8 +87,9 @@ def _block_twiddles(plan: NTTPlan, inverse: bool, S: int | None = None,
 
 
 def _wb(w, m, u_shape):
-    """Broadcast (m, lanes) group twiddles over u's (m, t, ..., lanes)."""
-    target = (m,) + tuple(1 for _ in u_shape[1:-1]) + (u_shape[-1],)
+    """Broadcast (m, lanes) or (m, 1) group twiddles over u's
+    (m, t, ..., lanes)."""
+    target = (m,) + tuple(1 for _ in u_shape[1:-1]) + (w.shape[-1],)
     return jnp.broadcast_to(w.reshape(target), u_shape)
 
 

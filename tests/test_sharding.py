@@ -64,3 +64,35 @@ def test_hadamard_sharded(rng):
         np.testing.assert_array_equal(
             np.asarray(out)[i], (a[i].astype(np.uint64) * b[i] % q).astype(np.uint32)
         )
+
+
+def test_remote_ntt_pallas_a2a_matches_oracle(rng):
+    """Pallas remote-DMA all-to-all NTT (interpret mode) vs numpy oracle."""
+    from lol_tpu.ops.pallas import remote_ntt as rn
+
+    mesh = sh.make_mesh({"ring": 4})
+    q = QS[0]
+    plan = ntt.ntt_plan(N, q)  # N = 256, D = 4: D^2 | N
+    x = rng.integers(0, q, (2, N), dtype=np.uint64).astype(np.uint32)
+    xj = jax.device_put(
+        jnp.asarray(x),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "ring")),
+    )
+    got = rn.ntt_ring_sharded_pallas(mesh, xj, plan, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), ntt.np_ntt_forward(x, plan))
+
+
+def test_remote_ntt_pallas_8dev(rng):
+    from lol_tpu.ops.pallas import remote_ntt as rn
+
+    mesh = sh.make_mesh({"ring": 8})
+    q = QS[1]
+    n = 512  # 8^2 | 512
+    plan = ntt.ntt_plan(n, q)
+    x = rng.integers(0, q, (3, n), dtype=np.uint64).astype(np.uint32)
+    xj = jax.device_put(
+        jnp.asarray(x),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "ring")),
+    )
+    got = rn.ntt_ring_sharded_pallas(mesh, xj, plan, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), ntt.np_ntt_forward(x, plan))
