@@ -260,6 +260,13 @@ def embed_pow(sub: RingContext, sup: RingContext, x) -> jnp.ndarray:
     return gen.embed_pow(sub.m, sup.m, x)
 
 
+def embed_dec(sub: RingContext, sup: RingContext, x) -> jnp.ndarray:
+    """Decoding-basis embedding (Lol embedDec): same index table as the
+    powerful basis — the relative factors live in the prime level, which
+    L does not move (see ops/general.py rel_coeff_table)."""
+    return embed_pow(sub, sup, x)
+
+
 def twace_pow(sup: RingContext, sub: RingContext, x) -> jnp.ndarray:
     """Tweaked trace in the powerful/decoding basis: coordinate gather."""
     if not sub.fm.divides(sup.fm):

@@ -206,6 +206,28 @@ def error_term(sk: SK, ct: CT) -> np.ndarray:
     return np.array(out, dtype=object).reshape(d.shape)
 
 
+def decrypt_unrestricted(sk: SK, ct: CT) -> np.ndarray:
+    """Decrypt without any error-bound restriction (Lol
+    decryptUnrestricted) — identical math here; the name is kept for
+    API parity (our decrypt never enforces bounds)."""
+    return decrypt(sk, ct)
+
+
+def error_term_unrestricted(sk: SK, ct: CT) -> np.ndarray:
+    """Lol errorTermUnrestricted (no bound checks — same as error_term)."""
+    return error_term(sk, ct)
+
+
+def absorb_g_factors(ct: CT) -> CT:
+    """Lol absorbGFactors: fold accumulated g multipliers into the ct.
+
+    This implementation never accumulates g factors: multiplication is a
+    plain CRT Hadamard and decryption never divides by g (the LSD
+    invariant c(s) = f*m + p*e holds in the ring itself), so this is the
+    identity — kept for API parity."""
+    return ct
+
+
 def noise_bits(sk: SK, ct: CT) -> float:
     """log2 of the max |noise| — headroom tracking for tests/benches."""
     e = error_term(sk, ct)
