@@ -396,6 +396,100 @@ def key_switch_quad_circ(hint: KSHint, ct: CT) -> CT:
     return CT(ct.params, ct.ctx, cs, f=ct.f)
 
 
+# --- extended-modulus ("hybrid") key switching -----------------------------
+#
+# The reference generates hints over an *extended* modulus q'' containing
+# q (SURVEY.md §3.6: "hints are gadget-encoded encryptions of s (resp.
+# s^2) over an extended modulus q'' with gadget gad"): the hint encrypts
+# P * g_j * t over Q*P (P = the product of special primes), the digit
+# inner product runs over Q*P, and dropping P at the end divides the
+# keyswitch noise by P.
+
+
+@dataclass(frozen=True)
+class KSHintExt:
+    params: SHEParams
+    ctx_ext: RingContext  # ring over Q*P
+    n_special: int  # how many special primes to drop after the inner product
+    spec: gd.GadgetSpec
+    h0: tuple[Cyc, ...]
+    h1: tuple[Cyc, ...]
+
+
+def _ks_hint_ext(sk: SK, target: Cyc, spec: gd.GadgetSpec, key,
+                 special_qs: tuple[int, ...]) -> KSHintExt:
+    params = sk.params
+    ext_qs = params.qs + tuple(special_qs)
+    ctx_ext = ring_context(params.m, ext_qs)
+    P = 1
+    for qq in special_qs:
+        P *= qq
+    # gadget over the BASE chain Q (digits come from a mod-Q ciphertext)
+    base_basis = params.ctx.basis
+    g = gd.gadget_ints(spec, base_basis)
+    s_ext = Cyc.from_ints(ctx_ext, sk.s_ints).to_crt()
+    t_ints = target.lift_ints(rep=Rep.POW)
+    t_ext = Cyc.from_ints(ctx_ext, t_ints, rep=Rep.POW).to_crt()
+    h0, h1 = [], []
+    for gj in g:
+        key, k_a, k_e = jax.random.split(key, 3)
+        a_j = sampling.uniform(ctx_ext, k_a)
+        e_j = np.asarray(
+            sampling.gaussian_dec_ints(ctx_ext, k_e, params.var), dtype=np.int64
+        )
+        pe = Cyc.from_ints(ctx_ext, params.p * e_j).to_crt()
+        pg = _scalar_crt(ctx_ext, P * gj % ctx_ext.basis.modulus)
+        h0.append((pe + t_ext * pg - a_j * s_ext).to_crt())
+        h1.append(a_j.to_crt())
+    return KSHintExt(params, ctx_ext, len(special_qs), spec, tuple(h0), tuple(h1))
+
+
+def ks_quad_circ_hint_ext(sk: SK, spec: gd.GadgetSpec, key,
+                          special_qs: tuple[int, ...]) -> KSHintExt:
+    """Quadratic hint over the extended modulus Q*P (Lol ksQuadCircHint
+    with q'' > q)."""
+    ctx = sk.params.ctx
+    s2 = (sk.s_cyc(ctx) * sk.s_cyc(ctx))
+    return _ks_hint_ext(sk, s2, spec, key, special_qs)
+
+
+def _ks_inner_ext(hint: KSHintExt, c: Cyc) -> tuple[Cyc, Cyc]:
+    """Digit inner product over Q*P, then drop the special primes."""
+    base_ctx = hint.params.ctx
+    ctx_ext = hint.ctx_ext
+    p = hint.params.p
+    digits = gd.decompose(hint.spec, base_ctx.basis, c.to_pow().data)
+    acc0 = Cyc.zero(ctx_ext).to_crt()
+    acc1 = Cyc.zero(ctx_ext).to_crt()
+    for j in range(digits.shape[0]):
+        # re-express the (small, centered) digit over the extended chain
+        dj_ints = Cyc(base_ctx, Rep.POW, digits[j]).lift_ints(rep=Rep.POW)
+        dj = Cyc.from_ints(ctx_ext, dj_ints, rep=Rep.POW).to_crt()
+        acc0 = acc0 + dj * hint.h0[j]
+        acc1 = acc1 + dj * hint.h1[j]
+    # drop special primes: divide by P with the p-multiple correction
+    for _ in range(hint.n_special):
+        cctx = acc0.ctx
+        ctx2 = ring_context(cctx.m, cctx.basis.qs[:-1])
+        acc0 = Cyc(ctx2, Rep.POW, _bgv_rescale(cctx, acc0.to_pow().data, p))
+        acc1 = Cyc(ctx2, Rep.POW, _bgv_rescale(cctx, acc1.to_pow().data, p))
+    return acc0, acc1
+
+
+def key_switch_quad_circ_ext(hint: KSHintExt, ct: CT) -> CT:
+    """Relinearize with an extended-modulus hint: the keyswitch noise is
+    divided by P (the special-prime product), the reference's rationale
+    for the q'' construction.  The P-rescale multiplies the *hint term's*
+    message contribution by P^{-1}... P = 1 mod p is not required: the
+    correction keeps c(s) = f*m + p*e with the SAME f because the s^2 c2
+    term re-enters exactly (P * s^2 c2 / P)."""
+    if ct.degree != 2:
+        raise ValueError("key_switch_quad_circ_ext: need a quadratic ct")
+    b0, b1 = _ks_inner_ext(hint, ct.cs[2])
+    cs = (ct.cs[0].to_crt() + b0.to_crt(), ct.cs[1].to_crt() + b1.to_crt())
+    return CT(ct.params, ct.ctx, cs, f=ct.f, encoding=ct.encoding)
+
+
 # ---------------------------------------------------------------------------
 # modulus switching (Lol modSwitch / rescaleLinearCT; exact RNS drop)
 # ---------------------------------------------------------------------------

@@ -222,3 +222,24 @@ def test_error_coset_sampling():
     lifted = e.lift_ints()
     got = np.array([int(v) % PARAMS.p for v in lifted])
     np.testing.assert_array_equal(got, coset)
+
+
+def test_extended_modulus_keyswitch(setup, rng):
+    sk, (k1, k2, _, kh, _) = setup
+    m1, m2 = she.pt_random(PARAMS, rng), she.pt_random(PARAMS, rng)
+    c1, c2 = she.encrypt(sk, m1, k1), she.encrypt(sk, m2, k2)
+    prod = she.ct_mul(c1, c2)
+    special = tuple(q for q in nt.ntt_primes(512, 29, 6) if q not in QS)[:2]
+    hint = she.ks_quad_circ_hint_ext(sk, gd.RnsGad(), jax.random.PRNGKey(31),
+                                     special)
+    lin = she.key_switch_quad_circ_ext(hint, prod)
+    assert lin.degree == 1
+    np.testing.assert_array_equal(
+        she.decrypt(sk, lin), she.pt_mul(PARAMS, m1, m2)
+    )
+    # noise advantage vs the plain RNS-gadget keyswitch
+    plain_hint = she.ks_quad_circ_hint(sk, gd.RnsGad(), jax.random.PRNGKey(32))
+    plain = she.key_switch_quad_circ(plain_hint, prod)
+    nb_ext = she.noise_bits(sk, lin)
+    nb_plain = she.noise_bits(sk, plain)
+    assert nb_ext < nb_plain - 10  # P ~ 2^58: dramatic noise reduction
