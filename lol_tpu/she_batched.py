@@ -105,6 +105,57 @@ class BatchedBGV:
             ]
         return jnp.stack(outs)
 
+    # --- batched encryption ------------------------------------------------
+    def build_encrypt(self, sk: she.SK):
+        """jit-compiled (msgs, key) -> (c0, c1): LSD-encrypt a batch.
+
+        msgs: (n, B) int32 decoding-basis coefficients mod p (column-major
+        like everything else here); key: jax PRNG key.  Same scheme as
+        she.encrypt (c1 uniform in CRT, c0 = NTT(m + p e) - c1 * s)."""
+        qs = self.qs
+        p = self.params.p
+        n = self.ctx.n
+        var = self.params.var
+        s_crt = jnp.asarray(
+            np.asarray(
+                she.Cyc.from_ints(self.ctx, sk.s_ints).to_crt().data
+            )
+        )[..., None]  # (nrns, n, 1)
+
+        def mulmod_ch(a, b):
+            return jnp.stack(
+                [zq.mul_mod(a[i], b[i], q) for i, q in enumerate(qs)]
+            )
+
+        def submod_ch(a, b):
+            return jnp.stack(
+                [zq.sub_mod(a[i], b[i], q) for i, q in enumerate(qs)]
+            )
+
+        @jax.jit
+        def enc(msgs, key):
+            B = msgs.shape[-1]
+            k_e, *k_u = jax.random.split(key, 1 + len(qs))
+            e = jnp.round(
+                jax.random.normal(k_e, (n, B), dtype=jnp.float32)
+                * jnp.sqrt(jnp.float32(var))
+            ).astype(jnp.int32)
+            me = msgs.astype(jnp.int32) + p * e
+            me_res = jnp.stack(
+                [jnp.mod(me, q).astype(jnp.uint32) for q in qs]
+            )
+            me_crt = self._ntt(me_res)
+            c1 = jnp.stack(
+                [
+                    jax.random.randint(k_u[i], (n, B), 0, q, dtype=jnp.uint32)
+                    for i, q in enumerate(qs)
+                ]
+            )
+            c0 = submod_ch(me_crt, mulmod_ch(c1, jnp.broadcast_to(s_crt, c1.shape)))
+            return c0, c1
+
+        return enc
+
     # --- the fused step ----------------------------------------------------
     def build_step(self, hint: she.KSHint):
         """jit-compiled (c0,c1,d0,d1) -> (e0,e1) over the dropped-prime

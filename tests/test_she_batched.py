@@ -57,3 +57,21 @@ def test_batched_step_matches_object_path(rng):
         np.testing.assert_array_equal(
             she.decrypt(sk2, outs[b]), she.pt_mul(PARAMS, m1, m2)
         )
+
+
+def test_batched_encrypt_decrypts(rng):
+    key = jax.random.PRNGKey(3)
+    sk = she.gen_sk(PARAMS, jax.random.PRNGKey(4))
+    bb = BatchedBGV(PARAMS)
+    enc = bb.build_encrypt(sk)
+    B = 3
+    msgs = rng.integers(0, PARAMS.p, (PARAMS.ctx.n, B)).astype(np.int32)
+    import jax.numpy as jnp
+
+    c0, c1 = enc(jnp.asarray(msgs), key)
+    cts = bb.unpack((c0, c1))
+    for b in range(B):
+        np.testing.assert_array_equal(she.decrypt(sk, cts[b]), msgs[:, b])
+    # determinism
+    d0, d1 = enc(jnp.asarray(msgs), key)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(d0))
