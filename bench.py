@@ -23,7 +23,7 @@ def main():
     n = 4096
     qs = nt.ntt_primes(2 * n, 30, 2)  # 2 x 30-bit primes ~ one 60-bit modulus
     plans = [ntt.ntt_plan(n, q) for q in qs]
-    B = 4096
+    B = 8192
     rng = np.random.default_rng(0)
     xs = [
         jnp.asarray(rng.integers(0, q, (n, B), dtype=np.uint64).astype(np.uint32))
@@ -43,7 +43,7 @@ def main():
     got = np.asarray(ys[0])[:, :1].T
     np.testing.assert_array_equal(got, want)
 
-    iters = 60 if on_tpu else 2
+    iters = 40 if on_tpu else 2
     t0 = time.time()
     ys = xs
     for _ in range(iters):
