@@ -349,3 +349,24 @@ def crt_set_cyc(m: int, p: int, k: int = 1):
 
 def num_slots(m: int, p: int) -> int:
     return len(slot_orbits(m, p))
+
+
+def slot_restriction(m_sub: int, m_sup: int, p: int) -> np.ndarray:
+    """For each slot (p-orbit) of R_{m_sup}, the index of the slot of
+    R_{m_sub} it lies over (restriction u -> u mod m_sub) — the relative
+    slot structure Lol's crtSetDec exposes for tunneling slot tracking."""
+    if m_sup % m_sub != 0:
+        raise ValueError("slot_restriction: need m_sub | m_sup")
+    sup_orbits = slot_orbits(m_sup, p)
+    sub_orbits = slot_orbits(m_sub, p)
+    where = {}
+    for i, orb in enumerate(sub_orbits):
+        for u in orb:
+            where[u % m_sub] = i
+    out = []
+    for orb in sup_orbits:
+        restr = {u % m_sub for u in orb}
+        idx = {where[r] for r in restr}
+        assert len(idx) == 1, "restriction not well-defined (bug)"
+        out.append(idx.pop())
+    return np.array(out, dtype=np.int64)

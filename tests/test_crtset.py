@@ -76,3 +76,11 @@ def test_power_to_powerful_identity_for_prime():
     np.testing.assert_array_equal(T[:, :6], np.eye(6, dtype=np.int64))
     # zeta^6 = -(1 + zeta + ... + zeta^5)
     np.testing.assert_array_equal(T[:, 6], -np.ones(6, dtype=np.int64))
+
+
+def test_slot_restriction():
+    r = crtset.slot_restriction(3, 21, 2)
+    assert r.shape[0] == crtset.num_slots(21, 2)
+    assert set(r.tolist()) <= set(range(crtset.num_slots(3, 2)))
+    # every sub-slot is covered
+    assert set(r.tolist()) == set(range(crtset.num_slots(3, 2)))
