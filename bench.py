@@ -43,9 +43,14 @@ def main():
     got = np.asarray(ys[0])[:, :1].T
     np.testing.assert_array_equal(got, want)
 
+    # warmup: let dispatch/thermal settle after the long compile
+    ys = xs
+    for _ in range(10 if on_tpu else 1):
+        ys = step(ys)
+    [y.block_until_ready() for y in ys]
+
     iters = 40 if on_tpu else 2
     t0 = time.time()
-    ys = xs
     for _ in range(iters):
         ys = step(ys)
     [y.block_until_ready() for y in ys]
