@@ -112,9 +112,11 @@ class Cyc:
             return Cyc(
                 self.ctx, self.rep, rg.mul_scalar_int(self.ctx, self.data, other)
             )
-        a, b = self.to_crt(), other.to_crt()
-        if a.ctx != b.ctx:
+        if self.ctx != other.ctx:
             raise ValueError("Cyc mul across rings")
+        if not self.ctx.has_crt():
+            return _mul_e_route(self, other)
+        a, b = self.to_crt(), other.to_crt()
         return Cyc(a.ctx, Rep.CRT, rg.mul_pointwise(a.ctx, a.data, b.data))
 
     __rmul__ = __mul__
@@ -230,3 +232,49 @@ class Cyc:
 
     def __repr__(self):
         return f"Cyc({self.ctx}, {self.rep.name}, shape={tuple(self.data.shape)})"
+
+
+# ---------------------------------------------------------------------------
+# E-route multiplication (Lol UCyc rep E / CRTEmbed)
+# ---------------------------------------------------------------------------
+
+
+def _mul_e_route(a: Cyc, b: Cyc) -> Cyc:
+    """Exact ring product when the base modulus admits no CRT basis
+    (e.g. plaintext rings R_{2^k}): the analog of Lol's `E`
+    representation, where `UCyc` multiplies via `CRTEmbed` into a ring
+    that *does* have roots of unity (`lol/Crypto/Lol/CRTrans.hs ::
+    CRTEmbed`, target `Complex Double`).
+
+    The TPU-native embedding target is an auxiliary NTT-friendly RNS
+    chain wide enough to hold the exact integer product of the centered
+    lifts (TPUs have no f64, and exactness is a framework invariant):
+    lift -> multiply over aux chain -> lift -> reduce mod the original
+    basis.  Coefficient bound: each powerful-basis monomial product
+    re-expands with coefficients in {-1,0,1} per prime-power axis, so
+    |coeff(xy)| <= n*A*B*2^omega (omega = #odd prime axes); the chain is
+    sized to 2x that."""
+    ctx = a.ctx
+    ai = a.lift_ints(rep=Rep.POW)
+    bi = b.lift_ints(rep=Rep.POW)
+    amax = max((abs(int(v)) for v in ai.reshape(-1)), default=0)
+    bmax = max((abs(int(v)) for v in bi.reshape(-1)), default=0)
+    if amax == 0 or bmax == 0:
+        return Cyc.zero(ctx)
+    omega = sum(1 for pp in ctx.fm.pps if pp.p != 2)
+    bound = ctx.n * amax * bmax << (omega + 1)
+    divisor = 2 * ctx.n if ctx.fm.is_pow2() else ctx.m
+    count, prod = 1, 1
+    from . import numtheory as _nt
+
+    while prod <= 2 * bound:
+        qs = tuple(_nt.ntt_primes(divisor, 30, count))
+        prod = 1
+        for q in qs:
+            prod *= q
+        count += 1
+    aux = rg.ring_context(ctx.m, qs)
+    pa = Cyc.from_ints(aux, ai, rep=Rep.POW)
+    pb = Cyc.from_ints(aux, bi, rep=Rep.POW)
+    prod_ints = (pa * pb).lift_ints(rep=Rep.POW)
+    return Cyc.from_ints(ctx, prod_ints, rep=Rep.POW)

@@ -56,7 +56,9 @@ def eval_lin(lin: Linear, x: Cyc) -> Cyc:
     if x.ctx != lin.r_ctx:
         raise ValueError("eval_lin: x not in the map's source ring")
     coeffs = x.coeffs(lin.e_ctx, rep=Rep.POW)
-    acc = Cyc.zero(lin.s_ctx).to_crt()
+    acc = Cyc.zero(lin.s_ctx)
+    if lin.s_ctx.has_crt():
+        acc = acc.to_crt()
     for y, a in zip(lin.ys, coeffs):
         acc = acc + y * a.embed(lin.s_ctx)
     return acc

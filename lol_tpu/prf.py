@@ -16,12 +16,13 @@ F_{s+t}(x) = F_s(x) + F_t(x) up to +-1 rounding slack per coefficient.
 input assignment; flipping one bit (Gray-code stepping) recomputes only
 the root path.
 
-HomomPRF: EvalHints = key-switch hint + a chain of tunnel hints walking
-down a ring tower + the final plaintext mod-switch; the encrypted PRF
-value rides the SHE plaintext space (p = the PRF modulus).  The linear
-phase (s * A_T(x)) and the ring-tower walk match the reference; the final
-rounding here is the plaintext mod-switch (the reference's MSD-encoded
-homomorphic MSB-rounding is future work, flagged in DESIGN notes).
+HomomPRF: EvalHints = a chain of tunnel hints walking down a ring tower
++ PTRound relinearization hints + the final plaintext modulus; the
+encrypted PRF value rides the SHE plaintext space (p = the PRF modulus).
+The linear phase (s * A_T(x)), the ring-tower walk, and — for PRF
+modulus 2^k — the true homomorphic MSB rounding (she.pt_round, iterated
+LSB-strip-and-halve) all match the reference; the plaintext mod-switch
+remains available as the cheap stand-in for non-2^k moduli.
 """
 
 from __future__ import annotations
@@ -129,15 +130,22 @@ class PRFFamily:
         return out
 
     def _mul_ginv(self, al, ar) -> tuple[Cyc, ...]:
-        """al * G^{-1}(ar): decompose each component of ar, inner products."""
+        """al * G^{-1}(ar): decompose each component of ar, inner products.
+
+        Multiplication dispatches through Cyc.* so CRT-friendly PRF
+        moduli ride the NTT and CRT-less ones (e.g. 2^k, the reference's
+        rounding-ready choice) ride the exact E-route."""
         ell = len(al)
+        has_crt = self.ctx.has_crt()
         cols = []
         for i in range(ell):
             digits = gd.decompose(self.spec, self.ctx.basis, ar[i].to_pow().data)
-            acc = Cyc.zero(self.ctx).to_crt()
+            acc = Cyc.zero(self.ctx)
+            if has_crt:
+                acc = acc.to_crt()
             for j in range(ell):
-                dj = Cyc(self.ctx, Rep.POW, digits[j]).to_crt()
-                acc = acc + al[j].to_crt() * dj
+                dj = Cyc(self.ctx, Rep.POW, digits[j])
+                acc = acc + al[j] * dj
             cols.append(acc)
         return tuple(cols)
 
@@ -151,13 +159,14 @@ class PRFFamily:
 def prf_pre_round(fam: PRFFamily, s: Cyc, bits) -> tuple[Cyc, ...]:
     """s * A_T(x) over R_q — the value before rounding."""
     at = fam.a_t(bits)
-    sc = s.to_crt()
+    sc = s.to_crt() if fam.ctx.has_crt() else s
     return tuple(sc * a for a in at)
 
 
 def prf(fam: PRFFamily, s: Cyc, bits, p_out: int) -> np.ndarray:
-    """F_s(x): round each decoding coefficient q -> p_out.  Output shape
-    (ell, n) ints mod p_out."""
+    """F_s(x): round each decoding coefficient q -> p_out (round-half-UP,
+    floor(c*p_out/q + 1/2) — matching the homomorphic pt_round chain).
+    Output shape (ell, n) ints mod p_out."""
     q = fam.ctx.basis.modulus
     vals = prf_pre_round(fam, s, bits)
     out = []
@@ -165,7 +174,7 @@ def prf(fam: PRFFamily, s: Cyc, bits, p_out: int) -> np.ndarray:
         lifted = v.lift_ints()  # centered
         out.append(
             np.array(
-                [int(round(int(c) * p_out / q)) % p_out for c in lifted],
+                [(2 * int(c) * p_out + q) // (2 * q) % p_out for c in lifted],
                 dtype=np.int64,
             )
         )
@@ -179,20 +188,29 @@ def prf(fam: PRFFamily, s: Cyc, bits, p_out: int) -> np.ndarray:
 
 @dataclass(frozen=True)
 class EvalHints:
-    """Lol EvalHints: KS hint (relinearization after public mults is not
-    needed — mulPublic keeps degree 1 — but the reference carries hints
-    for its tunnel chain), the chain of tunnel hints walking down a
-    cyclotomic tower, and the final plaintext modulus."""
+    """Lol EvalHints: the chain of tunnel hints walking down a cyclotomic
+    tower, the rounding hints (relinearization hints for the homomorphic
+    PTRound chain — present when the PRF modulus is 2^k and true
+    homomorphic rounding is requested), and the final plaintext
+    modulus.  (Relinearization after public mults is not needed —
+    mulPublic keeps degree 1 — but the rounding phase multiplies
+    ciphertexts.)"""
 
     tunnels: tuple[she.TunnelHint, ...]
     p_final: int
+    rounds: "she.PTRoundHints | None" = None
 
 
 def make_eval_hints(fam: PRFFamily, sks: list[she.SK], rings: list[int],
                     e_rings: list[int], spec: gd.GadgetSpec, key,
-                    p_final: int = 2) -> tuple[EvalHints, she.SK]:
+                    p_final: int = 2,
+                    homomorphic_round: bool = False) -> tuple[EvalHints, she.SK]:
     """Build the tunnel chain down `rings` (sks[i] lives in rings[i]);
-    e_rings[i] is the common subring of rings[i] and rings[i+1]."""
+    e_rings[i] is the common subring of rings[i] and rings[i+1].
+
+    With homomorphic_round=True (requires the PRF/plaintext modulus to be
+    2^k and p_final=2), also builds the PTRound relinearization hints for
+    the final secret key — the reference's full EvalHints."""
     from .ring import ring_context
 
     qs = sks[0].params.qs  # ciphertext modulus chain, not the PRF modulus
@@ -210,16 +228,25 @@ def make_eval_hints(fam: PRFFamily, sks: list[she.SK], rings: list[int],
         ys[0] = Cyc.scalar(s_ctx, 1)
         f = lin.linear_pow(e_ctx, r_ctx, s_ctx, ys)
         tunnels.append(she.tunnel_hint(f, sks[i + 1], sks[i], spec, sub))
-    return EvalHints(tuple(tunnels), p_final), sks[-1]
+    rounds = None
+    if homomorphic_round:
+        if p_final != 2:
+            raise ValueError("homomorphic rounding targets Z_2")
+        key, kr = jax.random.split(key)
+        rounds = she.pt_round_hints(sks[-1], spec, kr)
+    return EvalHints(tuple(tunnels), p_final, rounds), sks[-1]
 
 
 def homom_prf(fam: PRFFamily, hints: EvalHints, ct_s: she.CT, bits) -> she.CT:
     """Homomorphically evaluate the PRF's linear phase on an encrypted key
-    and walk the result down the tunnel chain, ending with the plaintext
-    modulus switch (the rounding stand-in; see module docstring).
+    and walk the result down the tunnel chain; finish with the TRUE
+    homomorphic rounding chain (she.pt_round) when hints.rounds is
+    present (PRF modulus 2^k; the tunnel chain has projected the value
+    to a scalar), else with the plaintext modulus switch.
 
     ct_s encrypts the PRF key s with plaintext modulus p = PRF modulus.
-    Output: encryption of (tower-descended) component 0 of s * A_T(x)."""
+    Output: encryption of round(tower-descended component 0 of
+    s * A_T(x))."""
     at = fam.a_t(bits)
     # public multiply by A_T(x)[0] reduced into the plaintext ring
     a0_pt = np.array(
@@ -229,6 +256,8 @@ def homom_prf(fam: PRFFamily, hints: EvalHints, ct_s: she.CT, bits) -> she.CT:
     ct = she.mul_public(ct_s, a0_pt)
     for th in hints.tunnels:
         ct = she.tunnel(th, ct)
+    if hints.rounds is not None:
+        return she.pt_round(ct, hints.rounds)
     if hints.p_final != ct.params.p:
         ct = she.mod_switch_pt(ct, hints.p_final)
     return ct

@@ -28,7 +28,11 @@ from .ring import RingContext
 
 
 def uniform(ctx: RingContext, key, batch: tuple[int, ...] = ()) -> Cyc:
-    """Uniform element of R_q in the CRT basis (uniform in any basis)."""
+    """Uniform element of R_q in the CRT basis (uniform in any basis).
+
+    For CRT-less moduli (e.g. plaintext rings R_{2^k}) the value is
+    tagged POW instead — uniformity is basis-independent, and the CRT
+    tag would be meaningless there."""
     keys = jax.random.split(key, ctx.nrns)
     chans = [
         jax.random.randint(
@@ -36,7 +40,8 @@ def uniform(ctx: RingContext, key, batch: tuple[int, ...] = ()) -> Cyc:
         )
         for i, q in enumerate(ctx.basis.qs)
     ]
-    return Cyc(ctx, Rep.CRT, jnp.stack(chans, axis=-2))
+    rep = Rep.CRT if ctx.has_crt() else Rep.POW
+    return Cyc(ctx, rep, jnp.stack(chans, axis=-2))
 
 
 def real_gaussians(key, var: float, shape) -> jnp.ndarray:

@@ -546,6 +546,108 @@ def mod_switch_pt(ct: CT, p_new: int) -> CT:
 
 
 # ---------------------------------------------------------------------------
+# homomorphic plaintext rounding (the reference's PTRound in HomomPRF)
+# ---------------------------------------------------------------------------
+
+
+def div_2(ct: CT) -> CT:
+    """Exact homomorphic divide-by-2: for even plaintext modulus p and a
+    plaintext guaranteed even, multiplying every component by
+    2^{-1} mod Q turns c(s) = f*m + p*e into f*(m/2) + (p/2)*e with the
+    SAME noise e — the building block of homomorphic rounding
+    (Alperin-Sheriff–Peikert 2013 §5; the reference's rounding phase in
+    `lol-apps/.../HomomPRF.hs`)."""
+    p = ct.params.p
+    if p % 2:
+        raise ValueError("div_2: plaintext modulus must be even")
+    u = _scalar_crt(ct.ctx, nt.modinv(2, ct.ctx.basis.modulus))
+    cs = tuple(c.to_crt() * u for c in ct.cs)
+    new_params = replace(ct.params, p=p // 2)
+    return CT(new_params, ct.ctx, cs, f=ct.f % (p // 2), encoding=ct.encoding)
+
+
+@dataclass(frozen=True)
+class PTRoundHints:
+    """One relinearization hint per pt_round multiplication, generated at
+    the modulus chain that multiplication runs on (the reference's
+    rounding hints inside HomomPRF's EvalHints)."""
+
+    hints: tuple[KSHint, ...]
+
+
+def _lsb_squarings(j: int) -> int:
+    """Squarings to compute lsb over Z_{2^j} as y^(2^t): 2^t must be a
+    multiple of the exponent 2^{j-2} of (Z/2^j)* (odd y -> 1) and have
+    2^t >= j (even y -> 0)."""
+    if j == 2:
+        return 1
+    if j == 3:
+        return 2
+    return j - 2
+
+
+def pt_round_mults(p: int) -> int:
+    """Total ciphertext multiplications pt_round performs for p = 2^k."""
+    k = _check_pow2(p)
+    return sum(_lsb_squarings(j) for j in range(2, k + 1))
+
+
+def _check_pow2(p: int) -> int:
+    k = p.bit_length() - 1
+    if p != 1 << k or k < 1:
+        raise ValueError(f"pt_round: plaintext modulus {p} is not 2^k")
+    return k
+
+
+def pt_round_hints(sk: SK, spec: gd.GadgetSpec, key) -> PTRoundHints:
+    """Quad-circ hints for pt_round: hint i lives at chain prefix
+    qs[:L0-i] because every multiplication is followed by one
+    mod_switch."""
+    p = sk.params.p
+    M = pt_round_mults(p)
+    L0 = len(sk.params.qs)
+    if L0 < M + 1:
+        raise ValueError(f"pt_round needs >= {M + 1} RNS primes, have {L0}")
+    hints = []
+    for i in range(M):
+        key, sub = jax.random.split(key)
+        params_i = replace(sk.params, qs=sk.params.qs[: L0 - i])
+        hints.append(
+            ks_quad_circ_hint(SK(params_i, sk.s_ints, sk.var), spec, sub)
+        )
+    return PTRoundHints(tuple(hints))
+
+
+def pt_round(ct: CT, rh: PTRoundHints) -> CT:
+    """Homomorphically round a *scalar* plaintext Z_{2^k} -> Z_2
+    (the reference's PTRound): the output encrypts
+    round_half_up(x / 2^{k-1}) = floor((x + 2^{k-2}) / 2^{k-1}) mod 2.
+
+    msb via iterated LSB stripping: at plaintext modulus 2^j,
+    b = lsb(y) = y^(2^t) (squarings, each relinearized and rescaled),
+    then y <- div_2(y - b).  Ring multiplication agrees with scalar
+    multiplication only on constant plaintexts, hence the scalar
+    restriction — exactly the shape the reference's HomomPRF arranges by
+    tunneling the PRF value down to the output coefficient first."""
+    p = ct.params.p
+    k = _check_pow2(p)
+    if k == 1:
+        return ct
+    shift = np.zeros(ct.ctx.n, dtype=np.int64)
+    shift[0] = 1 << (k - 2)
+    y = add_public(ct, shift)
+    it = iter(rh.hints)
+    for j in range(k, 1, -1):
+        b = y
+        for _ in range(_lsb_squarings(j)):
+            b = mod_switch(key_switch_quad_circ(next(it), ct_mul(b, b)))
+        while len(y.ctx.basis.qs) > len(b.ctx.basis.qs):
+            y = mod_switch(y)
+        y = div_2(ct_sub(y, b))
+    return y
+
+
+# ---------------------------------------------------------------------------
 # ring switching (Lol embedSK / embedCT / twaceCT)
 # ---------------------------------------------------------------------------
 

@@ -158,3 +158,40 @@ def test_rescale_cyc(rng):
 def _centered(v, q):
     r = v % q
     return r - q if r >= (q + 1) // 2 else r
+
+
+# ---------------------------------------------------------------------------
+# E-route multiplication (Lol UCyc rep E / CRTEmbed) for CRT-less moduli
+# ---------------------------------------------------------------------------
+
+
+def test_e_route_mul_matches_negacyclic_oracle(rng):
+    """Multiplication in R_{2^k} (no CRT basis) via the exact aux-chain
+    embedding equals the schoolbook negacyclic product."""
+    from lol_tpu import she
+
+    ctx = ring_context(16, (8,))
+    assert not ctx.has_crt()
+    params = she.SHEParams(m=16, p=8, qs=(97,), var=1.0)  # pt_mul helper
+    for _ in range(5):
+        a = rng.integers(0, 8, 8)
+        b = rng.integers(0, 8, 8)
+        got = (Cyc.from_ints(ctx, a) * Cyc.from_ints(ctx, b)).lift_ints(
+            rep=Rep.POW) % 8
+        np.testing.assert_array_equal(got, she.pt_mul(params, a, b))
+
+
+def test_e_route_mul_general_m_ring_laws(rng):
+    """R_9 over m=12 (CRT-less): distributivity and commutativity of the
+    E-route product."""
+    ctx = ring_context(12, (9,))
+    assert not ctx.has_crt()
+    a = Cyc.from_ints(ctx, rng.integers(0, 9, ctx.n))
+    b = Cyc.from_ints(ctx, rng.integers(0, 9, ctx.n))
+    c = Cyc.from_ints(ctx, rng.integers(0, 9, ctx.n))
+    lhs = (a * (b + c)).lift_ints(rep=Rep.POW) % 9
+    rhs = (a * b + a * c).lift_ints(rep=Rep.POW) % 9
+    np.testing.assert_array_equal(lhs, rhs)
+    np.testing.assert_array_equal(
+        (a * b).lift_ints(rep=Rep.POW) % 9, (b * a).lift_ints(rep=Rep.POW) % 9
+    )

@@ -5,6 +5,7 @@ import pytest
 import jax
 
 from lol_tpu import gadget as gd
+from lol_tpu import linear as lin
 from lol_tpu import numtheory as nt
 from lol_tpu import prf, she
 from lol_tpu.cyc import Cyc, Rep
@@ -113,3 +114,43 @@ def test_homom_prf_matches_clear(rng):
 def _lift_c(v, p):
     v = np.asarray(v, dtype=np.int64) % p
     return np.where(v >= (p + 1) // 2, v - p, v)
+
+
+def test_homom_prf_with_homomorphic_rounding(rng):
+    """Full reference pipeline: PRF modulus 2^k, tunnel tower 32 -> 2
+    (projecting to the scalar output coefficient), then TRUE homomorphic
+    rounding (she.pt_round) to Z_2 — decrypts to the same bit as the
+    clear pipeline."""
+    p = 8
+    qs = tuple(nt.ntt_primes(64, 30, 6))
+    fam = prf.PRFFamily.random(ring_context(32, (p,)), gd.BaseBGad(2),
+                               prf.balanced(3), jax.random.PRNGKey(1))
+    pr = she.SHEParams(m=32, p=p, qs=qs, var=2.0)
+    ps = she.SHEParams(m=2, p=p, qs=qs, var=2.0)
+    k1, k2, kh, ke = jax.random.split(jax.random.PRNGKey(2), 4)
+    sk_r = she.gen_sk(pr, k1)
+    sk_s = she.gen_sk(ps, k2)
+    hints, sk_out = prf.make_eval_hints(fam, [sk_r, sk_s], [32, 2], [2],
+                                        gd.RnsGad(), kh, p_final=2,
+                                        homomorphic_round=True)
+    ctx8r = ring_context(32, (p,))
+    ctx8s = ring_context(2, (p,))
+    ys = [Cyc.zero(ctx8s) for _ in range(16)]
+    ys[0] = Cyc.scalar(ctx8s, 1)
+    fa = lin.linear_pow(ctx8s, ctx8r, ctx8s, ys)
+    for trial, bits in enumerate([(1, 0, 1), (0, 1, 1), (1, 1, 0)]):
+        m_s = rng.integers(0, p, pr.ctx.n).astype(np.int64)
+        ct_s = she.encrypt(sk_r, m_s, jax.random.fold_in(ke, trial))
+        out_ct = prf.homom_prf(fam, hints, ct_s, bits)
+        assert out_ct.params.p == 2 and out_ct.params.m == 2
+        got = she.decrypt(sk_out, out_ct)
+        # clear pipeline in R_8: mul by A_T(x)[0], project, round-half-up
+        at0 = fam.a_t(bits)[0]
+        a0 = np.array([int(v) % p for v in at0.lift_ints(rep=Rep.POW)],
+                      dtype=np.int64)
+        a0c = np.where(a0 >= (p + 1) // 2, a0 - p, a0)
+        x = Cyc.from_ints(ctx8r, m_s, rep=Rep.DEC) * Cyc.from_ints(ctx8r, a0c)
+        v = int(lin.eval_lin(fa, x).lift_ints(rep=Rep.DEC)[0]) % p
+        want = ((v + 2) >> 2) & 1
+        assert got[0] == want
+

@@ -243,3 +243,55 @@ def test_extended_modulus_keyswitch(setup, rng):
     nb_ext = she.noise_bits(sk, lin)
     nb_plain = she.noise_bits(sk, plain)
     assert nb_ext < nb_plain - 10  # P ~ 2^58: dramatic noise reduction
+
+
+# ---------------------------------------------------------------------------
+# homomorphic plaintext rounding (the reference's PTRound; she.pt_round)
+# ---------------------------------------------------------------------------
+
+
+def test_div_2_exact():
+    qs = tuple(nt.ntt_primes(32, 30, 3))
+    params = she.SHEParams(m=16, p=8, qs=qs, var=2.0)
+    sk = she.gen_sk(params, jax.random.PRNGKey(40))
+    n = params.ctx.n
+    m = (2 * (np.arange(n) % 4)).astype(np.int64)  # even coefficients
+    ct = she.encrypt(sk, m, jax.random.PRNGKey(41))
+    half = she.div_2(ct)
+    assert half.params.p == 4
+    np.testing.assert_array_equal(she.decrypt(sk, half), (m // 2) % 4)
+    # noise unchanged (same e): div_2 is exact
+    np.testing.assert_array_equal(
+        she.error_term(sk, half).astype(np.int64) * 2,
+        she.error_term(sk, ct).astype(np.int64) * 2,
+    )
+
+
+@pytest.mark.parametrize("p", [4, 8, 16])
+def test_pt_round_all_values(p):
+    """pt_round(Enc(v*1)) decrypts to round_half_up(v / 2^{k-1}) mod 2
+    for every v in Z_{2^k}."""
+    k = p.bit_length() - 1
+    nprimes = she.pt_round_mults(p) + 2
+    qs = tuple(nt.ntt_primes(32, 30, nprimes))
+    params = she.SHEParams(m=16, p=p, qs=qs, var=2.0)
+    sk = she.gen_sk(params, jax.random.PRNGKey(42))
+    rh = she.pt_round_hints(sk, gd.RnsGad(), jax.random.PRNGKey(43))
+    n = params.ctx.n
+    for v in range(p):
+        m = np.zeros(n, dtype=np.int64)
+        m[0] = v
+        ct = she.encrypt(sk, m, jax.random.fold_in(jax.random.PRNGKey(44), v))
+        out = she.pt_round(ct, rh)
+        assert out.params.p == 2
+        got = she.decrypt(sk, out)
+        want = ((v + (1 << (k - 2))) >> (k - 1)) & 1
+        assert got[0] == want and not got[1:].any(), (p, v, got[:3], want)
+
+
+def test_pt_round_hints_need_enough_primes():
+    qs = tuple(nt.ntt_primes(32, 30, 2))
+    params = she.SHEParams(m=16, p=8, qs=qs, var=2.0)
+    sk = she.gen_sk(params, jax.random.PRNGKey(45))
+    with pytest.raises(ValueError, match="RNS primes"):
+        she.pt_round_hints(sk, gd.RnsGad(), jax.random.PRNGKey(46))
