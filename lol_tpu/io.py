@@ -82,6 +82,7 @@ def ct_to_proto(ct) -> pb.SHECiphertext:
         p=ct.params.p,
         f=ct.f,
         cs=[cyc_to_proto(c) for c in ct.cs],
+        encoding=ct.encoding,
     )
 
 
@@ -92,7 +93,8 @@ def ct_from_proto(msg: pb.SHECiphertext):
         m=int(msg.m), p=int(msg.p), qs=tuple(int(q) for q in msg.qs)
     )
     cs = tuple(cyc_from_proto(c) for c in msg.cs)
-    return she.CT(params, params.ctx, cs, f=int(msg.f))
+    return she.CT(params, params.ctx, cs, f=int(msg.f),
+                  encoding=msg.encoding or "lsd")
 
 
 def linear_to_proto(lin) -> pb.LinearRq:
@@ -114,4 +116,75 @@ def linear_from_proto(msg: pb.LinearRq):
         ring_context(int(msg.r), qs),
         ring_context(int(msg.s), qs),
         tuple(ys),
+    )
+
+
+# --- key-switch and tunnel hints (Lol Protoable KSHint / TunnelHint) -------
+
+
+def _gad_to_str(spec) -> str:
+    from . import gadget as gd
+
+    if isinstance(spec, gd.TrivGad):
+        return "triv"
+    if isinstance(spec, gd.BaseBGad):
+        return f"base:{spec.b}"
+    if isinstance(spec, gd.RnsGad):
+        return "rns"
+    raise ValueError(f"unknown gadget spec {spec!r}")
+
+
+def _gad_from_str(s: str):
+    from . import gadget as gd
+
+    if s == "triv":
+        return gd.TrivGad()
+    if s == "rns":
+        return gd.RnsGad()
+    if s.startswith("base:"):
+        return gd.BaseBGad(int(s.split(":", 1)[1]))
+    raise ValueError(f"unknown gadget string {s!r}")
+
+
+def ks_hint_to_proto(h) -> pb.KSHint:
+    return pb.KSHint(
+        m=h.ctx.m,
+        qs=list(h.ctx.basis.qs),
+        p=h.params.p,
+        var=h.params.var,
+        gad=_gad_to_str(h.spec),
+        h0=[cyc_to_proto(c) for c in h.h0],
+        h1=[cyc_to_proto(c) for c in h.h1],
+    )
+
+
+def ks_hint_from_proto(msg: pb.KSHint):
+    from . import she
+
+    params = she.SHEParams(
+        m=int(msg.m), p=int(msg.p), qs=tuple(int(q) for q in msg.qs),
+        var=float(msg.var),
+    )
+    return she.KSHint(
+        params, params.ctx, _gad_from_str(msg.gad),
+        tuple(cyc_from_proto(c) for c in msg.h0),
+        tuple(cyc_from_proto(c) for c in msg.h1),
+    )
+
+
+def tunnel_hint_to_proto(th) -> pb.TunnelHint:
+    return pb.TunnelHint(
+        lin=linear_to_proto(th.lin),
+        gad=_gad_to_str(th.spec),
+        hints=[ks_hint_to_proto(h) for h in th.hints],
+    )
+
+
+def tunnel_hint_from_proto(msg: pb.TunnelHint):
+    from . import she
+
+    return she.TunnelHint(
+        linear_from_proto(msg.lin),
+        _gad_from_str(msg.gad),
+        tuple(ks_hint_from_proto(h) for h in msg.hints),
     )

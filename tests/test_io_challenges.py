@@ -98,3 +98,60 @@ def test_challenges_cli(tmp_path, capsys):
     assert main(["generate", str(root), "--params", str(pfile)]) == 0
     assert main(["suppress", str(root)]) == 0
     assert main(["verify", str(root)]) == 0
+
+
+def test_ks_hint_roundtrip_functional(rng):
+    """Serialized+deserialized quad keyswitch hint relinearizes a real
+    product ciphertext to the same plaintext (Lol Protoable KSHint)."""
+    from lol_tpu import gadget as gd
+
+    params = she.SHEParams(m=32, p=17, qs=QS, var=3.0)
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(7), 4)
+    sk = she.gen_sk(params, k1)
+    hint = she.ks_quad_circ_hint(sk, gd.RnsGad(), k2)
+    back = lio.ks_hint_from_proto(
+        lio.ks_hint_to_proto(hint).__class__.FromString(
+            lio.ks_hint_to_proto(hint).SerializeToString()
+        )
+    )
+    assert back.spec == hint.spec and back.ctx == hint.ctx
+    m1, m2 = she.pt_random(params, rng), she.pt_random(params, rng)
+    prod = she.ct_mul(she.encrypt(sk, m1, k3), she.encrypt(sk, m2, k4))
+    np.testing.assert_array_equal(
+        she.decrypt(sk, she.key_switch_quad_circ(back, prod)),
+        she.decrypt(sk, she.key_switch_quad_circ(hint, prod)),
+    )
+
+
+def test_tunnel_hint_and_ct_encoding_roundtrip(rng):
+    """TunnelHint survives proto round-trip and tunnels identically; the
+    ciphertext encoding tag (MSD|LSD) round-trips."""
+    from lol_tpu import gadget as gd
+
+    pr = she.SHEParams(m=32, p=17, qs=QS, var=2.0)
+    ps = she.SHEParams(m=16, p=17, qs=QS, var=2.0)
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(8), 4)
+    sk_r, sk_s = she.gen_sk(pr, k1), she.gen_sk(ps, k2)
+    s_ctx, e_ctx = ps.ctx, ring_context(16, QS)
+    d = pr.ctx.n // e_ctx.n
+    ys = [Cyc.zero(s_ctx) for _ in range(d)]
+    ys[0] = Cyc.scalar(s_ctx, 1)
+    f = lin.linear_pow(e_ctx, pr.ctx, s_ctx, ys)
+    th = she.tunnel_hint(f, sk_s, sk_r, gd.RnsGad(), k3)
+    wire = lio.tunnel_hint_to_proto(th).SerializeToString()
+    from lol_tpu.proto import lol_pb2 as pb
+
+    back = lio.tunnel_hint_from_proto(pb.TunnelHint.FromString(wire))
+    m = she.pt_random(pr, rng)
+    ct = she.encrypt(sk_r, m, k4)
+    np.testing.assert_array_equal(
+        she.decrypt(sk_s, she.tunnel(back, ct)),
+        she.decrypt(sk_s, she.tunnel(th, ct)),
+    )
+    # encoding tag round-trip
+    ct_msd = she.encrypt_msd(sk_r, m, k4)
+    back_ct = lio.ct_from_proto(
+        pb.SHECiphertext.FromString(lio.ct_to_proto(ct_msd).SerializeToString())
+    )
+    assert back_ct.encoding == "msd"
+    np.testing.assert_array_equal(she.decrypt(sk_r, back_ct), m % pr.p)
