@@ -107,49 +107,51 @@ def _fwd_stage2(x, q, nloc, s, read_w):
     )
 
 
-def _fwd_stage4(x, q, nloc, s, read_w):
-    """Two fused DIT stages (radix-4): same multiply count as two radix-2
-    stages but one reshape/stack relayout pass instead of two."""
+def _fwd_stage_r(x, q, nloc, s, read_w, r):
+    """r fused radix-2 DIT stages (radix 2^r): one reshape/stack relayout
+    pass for r stages.  The 2^r slices stay in place across the inner
+    stages — at inner stage j, slices pair across bit (r-1-j) of the
+    slice index and the twiddle group is (outer, top-j bits of the slice
+    index), so only pairing/twiddle indices change, never the data
+    layout.  Same multiply count as r radix-2 stages."""
     m = 1 << s
-    t2 = nloc >> (s + 2)
+    R = 1 << r
+    t = nloc >> (s + r)
     rest = x.shape[1:]
-    wc, wcs = read_w(m, m)
-    wn, wns = read_w(2 * m, 2 * m)  # (2m, lanes): rows 2i, 2i+1
-    w0, w0s = wn.reshape(m, 2, -1)[:, 0], wns.reshape(m, 2, -1)[:, 0]
-    w1, w1s = wn.reshape(m, 2, -1)[:, 1], wns.reshape(m, 2, -1)[:, 1]
-    xs = x.reshape(m, 4, t2, *rest)
-    A, B, C, D = xs[:, 0], xs[:, 1], xs[:, 2], xs[:, 3]
-    sh = A.shape
-    wcC = zq.mul_mod_shoup(C, _wb(wc, m, sh), _wb(wcs, m, sh), q)
-    wcD = zq.mul_mod_shoup(D, _wb(wc, m, sh), _wb(wcs, m, sh), q)
-    A1 = zq.add_mod(A, wcC, q)
-    C1 = zq.sub_mod(A, wcC, q)
-    B1 = zq.add_mod(B, wcD, q)
-    D1 = zq.sub_mod(B, wcD, q)
-    w0B = zq.mul_mod_shoup(B1, _wb(w0, m, sh), _wb(w0s, m, sh), q)
-    w1D = zq.mul_mod_shoup(D1, _wb(w1, m, sh), _wb(w1s, m, sh), q)
-    return jnp.stack(
-        [
-            zq.add_mod(A1, w0B, q),
-            zq.sub_mod(A1, w0B, q),
-            zq.add_mod(C1, w1D, q),
-            zq.sub_mod(C1, w1D, q),
-        ],
-        axis=1,
-    ).reshape(nloc, *rest)
+    xs = x.reshape(m, R, t, *rest)
+    parts = [xs[:, i] for i in range(R)]
+    sh = parts[0].shape
+    for j in range(r):
+        wj, wjs = read_w(m << j, m << j)  # ((m<<j), lanes)
+        wj = wj.reshape(m, 1 << j, -1)
+        wjs = wjs.reshape(m, 1 << j, -1)
+        step = 1 << (r - 1 - j)
+        for i_u in range(R):
+            if i_u & step:
+                continue
+            i_v = i_u | step
+            g_inner = i_u >> (r - j)
+            w = _wb(wj[:, g_inner], m, sh)
+            wsh = _wb(wjs[:, g_inner], m, sh)
+            v = zq.mul_mod_shoup(parts[i_v], w, wsh, q)
+            u = parts[i_u]
+            parts[i_u] = zq.add_mod(u, v, q)
+            parts[i_v] = zq.sub_mod(u, v, q)
+    return jnp.stack(parts, axis=1).reshape(nloc, *rest)
 
 
-def _ntt_net_fwd(x, q, nloc, read_w, radix4=False):
-    """DIT network along axis 0 (length nloc); trailing axes carried."""
+def _ntt_net_fwd(x, q, nloc, read_w, rlog=1):
+    """DIT network along axis 0 (length nloc); trailing axes carried.
+    rlog = log2 of the fused-stage radix (1 = plain radix-2)."""
     kloc = nloc.bit_length() - 1
     s = 0
     while s < kloc:
-        if radix4 and s + 2 <= kloc:
-            x = _fwd_stage4(x, q, nloc, s, read_w)
-            s += 2
-        else:
+        r = min(rlog, kloc - s)
+        if r == 1:
             x = _fwd_stage2(x, q, nloc, s, read_w)
-            s += 1
+        else:
+            x = _fwd_stage_r(x, q, nloc, s, read_w, r)
+        s += r
     return x
 
 
@@ -166,40 +168,45 @@ def _inv_stage2(x, q, nloc, s, read_w):
     return jnp.stack([zq.add_mod(u, v, q), d], axis=1).reshape(nloc, *rest)
 
 
-def _inv_stage4(x, q, nloc, s, read_w):
-    """Two fused GS stages (s+1 then s), radix-4."""
+def _inv_stage_r(x, q, nloc, s, read_w, r):
+    """r fused GS inverse stages covering global stages s+r-1 .. s (one
+    relayout pass; mirror of _fwd_stage_r)."""
     h = 1 << s
-    t2 = nloc >> (s + 2)
+    R = 1 << r
+    t = nloc >> (s + r)
     rest = x.shape[1:]
-    wc, wcs = read_w(h, h)  # stage s twiddles
-    wn, wns = read_w(2 * h, 2 * h)  # stage s+1 twiddles, rows 2i / 2i+1
-    w0, w0s = wn.reshape(h, 2, -1)[:, 0], wns.reshape(h, 2, -1)[:, 0]
-    w1, w1s = wn.reshape(h, 2, -1)[:, 1], wns.reshape(h, 2, -1)[:, 1]
-    xs = x.reshape(h, 4, t2, *rest)
-    a, b, c, d = xs[:, 0], xs[:, 1], xs[:, 2], xs[:, 3]
-    sh = a.shape
-    a1 = zq.add_mod(a, b, q)
-    b1 = zq.mul_mod_shoup(zq.sub_mod(a, b, q), _wb(w0, h, sh), _wb(w0s, h, sh), q)
-    c1 = zq.add_mod(c, d, q)
-    d1 = zq.mul_mod_shoup(zq.sub_mod(c, d, q), _wb(w1, h, sh), _wb(w1s, h, sh), q)
-    o2 = zq.mul_mod_shoup(zq.sub_mod(a1, c1, q), _wb(wc, h, sh), _wb(wcs, h, sh), q)
-    o3 = zq.mul_mod_shoup(zq.sub_mod(b1, d1, q), _wb(wc, h, sh), _wb(wcs, h, sh), q)
-    return jnp.stack(
-        [zq.add_mod(a1, c1, q), zq.add_mod(b1, d1, q), o2, o3], axis=1
-    ).reshape(nloc, *rest)
+    xs = x.reshape(h, R, t, *rest)
+    parts = [xs[:, i] for i in range(R)]
+    sh = parts[0].shape
+    for j in range(r - 1, -1, -1):
+        wj, wjs = read_w(h << j, h << j)
+        wj = wj.reshape(h, 1 << j, -1)
+        wjs = wjs.reshape(h, 1 << j, -1)
+        step = 1 << (r - 1 - j)
+        for i_u in range(R):
+            if i_u & step:
+                continue
+            i_v = i_u | step
+            g_inner = i_u >> (r - j)
+            w = _wb(wj[:, g_inner], h, sh)
+            wsh = _wb(wjs[:, g_inner], h, sh)
+            u, v = parts[i_u], parts[i_v]
+            parts[i_u] = zq.add_mod(u, v, q)
+            parts[i_v] = zq.mul_mod_shoup(zq.sub_mod(u, v, q), w, wsh, q)
+    return jnp.stack(parts, axis=1).reshape(nloc, *rest)
 
 
-def _ntt_net_inv(x, q, nloc, read_w, radix4=False):
+def _ntt_net_inv(x, q, nloc, read_w, rlog=1):
     """GS inverse network along axis 0; stages high->low; no 1/n scale."""
     kloc = nloc.bit_length() - 1
-    s = kloc - 1
-    while s >= 0:
-        if radix4 and s >= 1:
-            x = _inv_stage4(x, q, nloc, s - 1, read_w)
-            s -= 2
+    s = kloc
+    while s > 0:
+        r = min(rlog, s)
+        if r == 1:
+            x = _inv_stage2(x, q, nloc, s - 1, read_w)
         else:
-            x = _inv_stage2(x, q, nloc, s, read_w)
-            s -= 1
+            x = _inv_stage_r(x, q, nloc, s - r, read_w, r)
+        s -= r
     return x
 
 
@@ -207,7 +214,7 @@ def _ntt_net_inv(x, q, nloc, read_w, radix4=False):
 
 
 def _kernel_cross(x_ref, w_ref, wsh_ref, o_ref, *, q, P, inverse, n_inv,
-                  n_inv_sh, radix4=False):
+                  n_inv_sh, rlog=1):
     """Cross-block stages: block (P, G, lanes), NTT along axis 0.  The
     first S global stages use group indices < P, so the twiddle tables
     are just the plain DIT prefix psi_rev[:P]."""
@@ -217,15 +224,15 @@ def _kernel_cross(x_ref, w_ref, wsh_ref, o_ref, *, q, P, inverse, n_inv,
         return w_ref[lo : lo + m, :], wsh_ref[lo : lo + m, :]
 
     if inverse:
-        x = _ntt_net_inv(x, q, P, read_w, radix4)
+        x = _ntt_net_inv(x, q, P, read_w, rlog)
         x = zq.mul_mod_shoup(x, jnp.uint32(n_inv), jnp.uint32(n_inv_sh), q)
     else:
-        x = _ntt_net_fwd(x, q, P, read_w, radix4)
+        x = _ntt_net_fwd(x, q, P, read_w, rlog)
     o_ref[...] = x
 
 
 def _kernel_block(x_ref, w_ref, wsh_ref, o_ref, *, q, tS, inverse, n_inv,
-                  n_inv_sh, radix4=False):
+                  n_inv_sh, rlog=1):
     """Within-block stages: block (1, tS, lanes), NTT along axis 1 with
     this block's private twiddle table."""
     x = x_ref[0]
@@ -236,11 +243,11 @@ def _kernel_block(x_ref, w_ref, wsh_ref, o_ref, *, q, tS, inverse, n_inv,
         return w_all[lo : lo + m, :], wsh_all[lo : lo + m, :]
 
     if inverse:
-        x = _ntt_net_inv(x, q, tS, read_w, radix4)
+        x = _ntt_net_inv(x, q, tS, read_w, rlog)
         if n_inv is not None:
             x = zq.mul_mod_shoup(x, jnp.uint32(n_inv), jnp.uint32(n_inv_sh), q)
     else:
-        x = _ntt_net_fwd(x, q, tS, read_w, radix4)
+        x = _ntt_net_fwd(x, q, tS, read_w, rlog)
     o_ref[0] = x
 
 
@@ -249,7 +256,7 @@ def _kernel_block(x_ref, w_ref, wsh_ref, o_ref, *, q, tS, inverse, n_inv,
 
 @lru_cache(maxsize=512)
 def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
-           radix4: bool = False):
+           rlog: int = 1):
     """Jitted (n, B) -> (n, B) column-major negacyclic NTT."""
     n, q = plan.n, plan.q
     k, S, tS = _split(n)
@@ -275,7 +282,7 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
         B = x3.shape[-1]
         kern = partial(
             _kernel_cross, q=q, P=P, inverse=inverse,
-            n_inv=plan.n_inv, n_inv_sh=plan.n_inv_sh, radix4=radix4,
+            n_inv=plan.n_inv, n_inv_sh=plan.n_inv_sh, rlog=rlog,
         )
         return pl.pallas_call(
             kern,
@@ -303,7 +310,7 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
         kern = partial(
             _kernel_block, q=q, tS=tS, inverse=inverse,
             n_inv=plan.n_inv if scale_in_block else None,
-            n_inv_sh=plan.n_inv_sh if scale_in_block else None, radix4=radix4,
+            n_inv_sh=plan.n_inv_sh if scale_in_block else None, rlog=rlog,
         )
         return pl.pallas_call(
             kern,
@@ -343,13 +350,15 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
 
 
 def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
-           interpret: bool = False, radix4: bool = True):
+           interpret: bool = False, radix: int = 16):
     """Negacyclic NTT over axis 0 of a column-major (n, B) u32 array.
 
-    B must be a multiple of `lanes`.  Defaults tuned on v5e at n=4096:
-    widest lane tile in {512, 256, 128} dividing B (fewer grid steps,
-    ~1.5x over 128) and radix-4 fused stages (~1.1x over radix-2: same
-    multiply count, half the reshape/stack relayout passes)."""
+    B must be a multiple of `lanes`.  Defaults tuned on v5e at n=4096,
+    B=8192: widest lane tile in {512, 256, 128} dividing B (fewer grid
+    steps, ~1.5x over 128) and radix-16 fused stages (same multiply
+    count as radix-2, 1/4 the reshape/stack relayout passes: +18% over
+    radix-4, 1.31M vs 1.10M 60-bit NTT/s; radix-32 regresses — the 32
+    live slices blow the scoped-VMEM budget)."""
     n, B = x.shape
     if n != plan.n:
         raise ValueError(f"ntt_cm: x has n={n}, plan has n={plan.n}")
@@ -359,7 +368,10 @@ def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
         raise ValueError(f"ntt_cm: batch {B} not a multiple of lanes={lanes}")
     if n == 1:
         return x
-    return _build(plan, inverse, lanes, interpret, radix4)(x)
+    rlog = radix.bit_length() - 1
+    if radix != 1 << rlog or rlog < 1:
+        raise ValueError(f"ntt_cm: radix {radix} must be a power of 2 >= 2")
+    return _build(plan, inverse, lanes, interpret, rlog)(x)
 
 
 def ntt_batched(x, plan: NTTPlan, inverse: bool = False, interpret: bool = False):

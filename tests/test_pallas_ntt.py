@@ -40,10 +40,11 @@ def test_pallas_nonmultiple_batch_padding(rng):
 
 
 @pytest.mark.parametrize("inverse", [False, True])
-def test_radix4_matches_radix2(inverse, rng):
+@pytest.mark.parametrize("radix", [4, 8, 16])
+def test_fused_radix_matches_radix2(inverse, radix, rng):
     n, q = 1024, 12289
     plan = ntt.ntt_plan(n, q)
     a = jnp.asarray(rng.integers(0, q, (n, 128), dtype=np.uint64).astype(np.uint32))
-    r2 = pk.ntt_cm(a, plan, inverse=inverse, interpret=True)
-    r4 = pk.ntt_cm(a, plan, inverse=inverse, interpret=True, radix4=True)
-    np.testing.assert_array_equal(np.asarray(r2), np.asarray(r4))
+    r2 = pk.ntt_cm(a, plan, inverse=inverse, interpret=True, radix=2)
+    rr = pk.ntt_cm(a, plan, inverse=inverse, interpret=True, radix=radix)
+    np.testing.assert_array_equal(np.asarray(r2), np.asarray(rr))
