@@ -182,8 +182,9 @@ def decrypt(sk: SK, ct: CT) -> np.ndarray:
     p = ct.params.p
     if ct.encoding == "msd":
         Q = ct.ctx.basis.modulus
+        finv = nt.modinv(ct.f, p)
         return np.array(
-            [int(round(int(v) * p / Q)) % p for v in d.reshape(-1)],
+            [int(round(int(v) * p / Q)) * finv % p for v in d.reshape(-1)],
             dtype=np.int64,
         ).reshape(d.shape)
     finv = nt.modinv(ct.f, p)
@@ -273,15 +274,44 @@ def ct_sub(a: CT, b: CT) -> CT:
     return ct_add(a, nb)
 
 
+def to_lsd(ct: CT) -> CT:
+    """MSD -> LSD encoding switch (the conversion Lol's (*) interleaves
+    when it tracks MSD|LSD): multiply every component by p.  Exactly:
+    p*Delta = Q - (Q mod p) = -Q (mod Q and mod p), so
+    c(s) = Delta*f*m + e becomes (-Q mod p)*f*m + p*e — LSD with the
+    scale folded into f and the same noise scaled by p."""
+    if ct.encoding == "lsd":
+        return ct
+    p = ct.params.p
+    Q = ct.ctx.basis.modulus
+    cs = tuple(c * p for c in ct.cs)
+    f = ct.f * ((-Q) % p) % p
+    return CT(ct.params, ct.ctx, cs, f=f, encoding="lsd")
+
+
+def to_msd(ct: CT) -> CT:
+    """LSD -> MSD encoding switch: multiply every component by
+    p^{-1} mod Q.  p^{-1}(f*m + p*e) = Delta'*([-Q^{-1} f m]_p) + e',
+    |e'| <= |e| + p/2: MSD with the -Q^{-1} scale folded into f."""
+    if ct.encoding == "msd":
+        return ct
+    p = ct.params.p
+    Q = ct.ctx.basis.modulus
+    u = _scalar_crt(ct.ctx, nt.modinv(p % Q, Q))
+    cs = tuple(c.to_crt() * u for c in ct.cs)
+    f = ct.f * ((-nt.modinv(Q % p, p)) % p) % p
+    return CT(ct.params, ct.ctx, cs, f=f, encoding="msd")
+
+
 def ct_mul(a: CT, b: CT) -> CT:
-    """Component-list convolution: degree grows (Lol CT (*))."""
+    """Component-list convolution: degree grows (Lol CT (*), tracking
+    MSD|LSD): LSD*LSD -> LSD; MSD*LSD -> MSD exactly (the cross term
+    Delta*m * p*e' = Q*m*e' vanishes mod Q); MSD*MSD converts one side
+    to LSD first (Lol's interleaved toLSD)."""
     if a.ctx != b.ctx:
         raise ValueError("CT mul across different rings/moduli")
-    if a.encoding != "lsd" or b.encoding != "lsd":
-        raise ValueError(
-            "ct_mul: MSD x MSD needs an interleaved rescale (Lol tracks "
-            "MSD/LSD through (*)); convert or use LSD ciphertexts"
-        )
+    if a.encoding == "msd" and b.encoding == "msd":
+        b = to_lsd(b)
     ca = [c.to_crt() for c in a.cs]
     cb = [c.to_crt() for c in b.cs]
     out = [Cyc.zero(a.ctx).to_crt() for _ in range(len(ca) + len(cb) - 1)]
@@ -289,7 +319,8 @@ def ct_mul(a: CT, b: CT) -> CT:
         for j, y in enumerate(cb):
             out[i + j] = out[i + j] + x * y
     f = a.f * b.f % a.params.p
-    return CT(a.params, a.ctx, tuple(out), f=f)
+    enc = "msd" if "msd" in (a.encoding, b.encoding) else "lsd"
+    return CT(a.params, a.ctx, tuple(out), f=f, encoding=enc)
 
 
 def add_public(ct: CT, m_pub: np.ndarray) -> CT:

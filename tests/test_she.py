@@ -295,3 +295,34 @@ def test_pt_round_hints_need_enough_primes():
     sk = she.gen_sk(params, jax.random.PRNGKey(45))
     with pytest.raises(ValueError, match="RNS primes"):
         she.pt_round_hints(sk, gd.RnsGad(), jax.random.PRNGKey(46))
+
+
+# ---------------------------------------------------------------------------
+# MSD|LSD encoding tracking through (*) (Lol's toMSD/toLSD interleaving)
+# ---------------------------------------------------------------------------
+
+
+def test_encoding_conversions_roundtrip(setup, rng):
+    sk, (k1, k2, *_rest) = setup
+    m = she.pt_random(PARAMS, rng)
+    c_lsd = she.encrypt(sk, m, k1)
+    c_msd = she.encrypt_msd(sk, m, k2)
+    np.testing.assert_array_equal(she.decrypt(sk, she.to_lsd(c_msd)), m % PARAMS.p)
+    np.testing.assert_array_equal(she.decrypt(sk, she.to_msd(c_lsd)), m % PARAMS.p)
+    # idempotent
+    assert she.to_lsd(c_lsd) is c_lsd and she.to_msd(c_msd) is c_msd
+
+
+def test_ct_mul_tracks_encodings(setup, rng):
+    sk, (k1, k2, k3, *_rest) = setup
+    m1, m2 = she.pt_random(PARAMS, rng), she.pt_random(PARAMS, rng)
+    want = she.pt_mul(PARAMS, m1, m2)
+    c1_lsd = she.encrypt(sk, m1, k1)
+    c1_msd = she.encrypt_msd(sk, m1, k2)
+    c2_msd = she.encrypt_msd(sk, m2, k3)
+    for a, b, enc in [(c1_msd, she.encrypt(sk, m2, k1), "msd"),
+                      (c1_lsd, c2_msd, "msd"),
+                      (c1_msd, c2_msd, "msd")]:
+        prod = she.ct_mul(a, b)
+        assert prod.encoding == enc
+        np.testing.assert_array_equal(she.decrypt(sk, prod), want)
