@@ -350,15 +350,17 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
 
 
 def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
-           interpret: bool = False, radix: int = 16):
+           interpret: bool = False, radix: int | None = None):
     """Negacyclic NTT over axis 0 of a column-major (n, B) u32 array.
 
     B must be a multiple of `lanes`.  Defaults tuned on v5e at n=4096,
     B=8192: widest lane tile in {512, 256, 128} dividing B (fewer grid
-    steps, ~1.5x over 128) and radix-16 fused stages (same multiply
-    count as radix-2, 1/4 the reshape/stack relayout passes: +18% over
-    radix-4, 1.31M vs 1.10M 60-bit NTT/s; radix-32 regresses — the 32
-    live slices blow the scoped-VMEM budget)."""
+    steps, ~1.5x over 128); fused-stage radix 16 forward / 8 inverse
+    (same multiply count as radix-2, 1/r the reshape/stack relayout
+    passes: fwd r16 2.37M vs r4 ~2.0M residue-NTT/s; the GS inverse has
+    one extra live value per butterfly, so r16 at 512 lanes blows the
+    16MB scoped-VMEM stack — r8 is its sweet spot at 1.38M, r16@256
+    lanes much slower)."""
     n, B = x.shape
     if n != plan.n:
         raise ValueError(f"ntt_cm: x has n={n}, plan has n={plan.n}")
@@ -368,6 +370,8 @@ def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
         raise ValueError(f"ntt_cm: batch {B} not a multiple of lanes={lanes}")
     if n == 1:
         return x
+    if radix is None:
+        radix = 8 if inverse else 16
     rlog = radix.bit_length() - 1
     if radix != 1 << rlog or rlog < 1:
         raise ValueError(f"ntt_cm: radix {radix} must be a power of 2 >= 2")
