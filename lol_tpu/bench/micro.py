@@ -68,6 +68,25 @@ def run(n: int = 4096, batch: int = 1024, nrns: int = 2, use_tpu=True):
     ]
     add("zipWith (+)", "xla", _time(lambda *a: [f(x, x) for f, x in zip(add_j, x_cm)], ()))
 
+    # per-Tensor-method rows (the reference benches each class method)
+    from .. import gadget as gd
+    from ..ring import ring_context
+    import lol_tpu.ring as rg
+
+    ctx = ring_context(2 * n, tuple(qs))
+    xr = jnp.stack(x_rm, axis=-2)  # (batch, nrns, n)
+    lj = jax.jit(lambda v: rg.l(ctx, v))
+    lij = jax.jit(lambda v: rg.l_inv(ctx, v))
+    add("l (dec->pow)", "xla", _time(lj, (xr,)))
+    add("lInv", "xla", _time(lij, (xr,)))
+    gj = jax.jit(lambda v: rg.mul_g_pow(ctx, v))
+    add("mulG (pow)", "xla", _time(gj, (xr,)))
+    if nrns >= 2:
+        rj = jax.jit(ctx.basis.rescale_drop_last)
+        add("rescale (RNS)", "xla", _time(rj, (xr,)))
+    dj = jax.jit(lambda v: gd.decompose(gd.RnsGad(), ctx.basis, v))
+    add("decompose (rns)", "xla", _time(dj, (xr,)))
+
     print(f"\nlol_tpu microbench: n={n}, batch={batch}, nrns={nrns}, device={dev}")
     print(f"{'op':<16} {'backend':<8} {'ms/call':>10} {'poly-ops/s':>14}")
     for op, backend, ms, rate in rows:
