@@ -1,7 +1,7 @@
 """BGV pipeline benchmark: ct-mult + key-switch + rescale ops/sec.
 
 The second BASELINE.json headline metric.  Run:
-    python -m lol_tpu.bench.she_bench [--m 8192] [--rns 3] [--batch 512]
+    python -m lol_tpu.bench.she_bench [--m 8192] [--rns 3] [--batch 2048]
 Prints one JSON line like bench.py.
 """
 
@@ -14,7 +14,7 @@ import time
 import numpy as np
 
 
-def run(m: int = 8192, nrns: int = 3, batch: int = 512, p: int = 257,
+def run(m: int = 8192, nrns: int = 3, batch: int = 2048, p: int = 257,
         iters: int = 20):
     import jax
     import jax.numpy as jnp
@@ -64,7 +64,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--m", type=int, default=8192)
     ap.add_argument("--rns", type=int, default=3)
-    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=2048)
     args = ap.parse_args()
     run(args.m, args.rns, args.batch)
 
