@@ -427,6 +427,31 @@ def key_switch_quad_circ(hint: KSHint, ct: CT) -> CT:
     return CT(ct.params, ct.ctx, cs, f=ct.f)
 
 
+def ks_galois_hint(k: int, sk: SK, spec: gd.GadgetSpec, key) -> KSHint:
+    """Hint enabling the homomorphic Galois automorphism sigma_k
+    (zeta -> zeta^k, gcd(k, m) = 1): gadget encryptions of sigma_k(s)
+    under s.  (Extension beyond the reference's op set — Lol has the
+    automorphisms on ring elements but no CT-level op; the hint mirrors
+    ksLinearHint with target sigma_k(s).)"""
+    ctx = sk.params.ctx
+    target = Cyc.from_ints(ctx, sk.s_ints).galois(k)
+    return _ks_hint(sk, target, spec, key)
+
+
+def ct_galois(hint: KSHint, k: int, ct: CT) -> CT:
+    """Apply sigma_k homomorphically: permute both components' CRT slots
+    (sigma(c0) + sigma(c1)*sigma(s) decrypts sigma(m) under sigma(s)),
+    then key-switch back to s with the sigma_k(s) hint.  The plaintext's
+    CRT slots are rotated by the corresponding unit-group action."""
+    if ct.degree != 1:
+        raise ValueError("ct_galois: need a linear (2-comp) ct")
+    c0k = ct.cs[0].galois(k)
+    c1k = ct.cs[1].galois(k)
+    b0, b1 = _ks_inner(hint, c1k)
+    return CT(ct.params, ct.ctx, (c0k.to_crt() + b0, b1), f=ct.f,
+              encoding=ct.encoding)
+
+
 # --- extended-modulus ("hybrid") key switching -----------------------------
 #
 # The reference generates hints over an *extended* modulus q'' containing

@@ -326,3 +326,24 @@ def test_ct_mul_tracks_encodings(setup, rng):
         prod = she.ct_mul(a, b)
         assert prod.encoding == enc
         np.testing.assert_array_equal(she.decrypt(sk, prod), want)
+
+
+def test_ct_galois_matches_plaintext_automorphism(setup, rng):
+    """ct_galois(hint, k, Enc(m)) decrypts to sigma_k(m) (extension: the
+    reference has ring-element automorphisms but no CT-level op)."""
+    from lol_tpu.cyc import Cyc, Rep
+    from lol_tpu.ring import ring_context
+
+    sk, (k1, *_rest) = setup
+    m = she.pt_random(PARAMS, rng)
+    ct = she.encrypt(sk, m, k1)
+    p = PARAMS.p
+    aux = ring_context(PARAMS.m, QS[:1])
+    mc = np.where(m >= (p + 1) // 2, m - p, m)
+    for k in (3, 2 * PARAMS.m - 1):
+        hint = she.ks_galois_hint(k % PARAMS.m, sk, gd.RnsGad(),
+                                  jax.random.PRNGKey(60 + k))
+        got = she.decrypt(sk, she.ct_galois(hint, k % PARAMS.m, ct))
+        want = Cyc.from_ints(aux, mc, rep=_Rep.DEC).galois(
+            k % PARAMS.m).lift_ints() % p
+        np.testing.assert_array_equal(got, np.array([int(v) for v in want]))
