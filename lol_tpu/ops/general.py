@@ -32,6 +32,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -83,10 +84,81 @@ def _modsum_tree(x, q, axis=-1):
     return x[..., 0]
 
 
-def matvec_mod_jnp(M, x, q):
-    """(a,b) @ (..., b) -> (..., a) mod q, exact, MXU-shaped later."""
+MXU_MIN_AXIS = 16  # below this the VPU broadcast path wins (tiny matrices)
+
+
+def matvec_mod_jnp(M, x, q, use_mxu: bool | None = None):
+    """(a,b) @ (..., b) -> (..., a) mod q, exact.
+
+    Two bit-identical paths: a VPU broadcast-multiply + deterministic
+    mod-sum tree, and an MXU int8-limb matmul (`matvec_mod_mxu`) for
+    axes large enough to amortize the relayout.  Both are exact integer
+    arithmetic, so the dispatch never affects results."""
+    if use_mxu is None:
+        use_mxu = min(M.shape) >= MXU_MIN_AXIS
+    if use_mxu:
+        return matvec_mod_mxu(M, x, q)
     prod = zq.mul_mod(M, x[..., None, :], q)  # (..., a, b)
     return _modsum_tree(prod, q, axis=-1)
+
+
+def _limbs_needed(q: int) -> int:
+    return ((q - 1).bit_length() + 7) // 8
+
+
+def matvec_mod_mxu(M, x, q):
+    """Exact (a,b) @ (..., b) -> (..., a) mod q via int8 limb matmuls.
+
+    TPU-native realization of the reference's dense odd-prime-axis DFT
+    (`lol-cpp .../crt.cpp` general-p path, SURVEY §3.3) on the MXU: split
+    both operands into 8-bit limbs, center to int8, take all limb-pair
+    matmuls with int32 accumulation (native MXU int8 ops), undo the
+    centering with precomputed row/column sums, then fold the 2^{8k}
+    limb weights back in mod q.  Every step is exact integer arithmetic,
+    so the result is bit-identical to the VPU path (asserted by the
+    cross-path test in tests/test_general.py).
+
+    Range proof: |centered limb| <= 128, so each dot entry is at most
+    b*128*128; after de-centering a limb-pair product is the true
+    A_i @ X_j <= b*255^2, and a weight-class sum over i+j=k of at most
+    4 such terms is < 2^31 for b <= 4096 (odd axes are far smaller)."""
+    a, b = M.shape
+    if b > 4096:
+        raise ValueError("matvec_mod_mxu: axis too large for int32 accum")
+    nl = _limbs_needed(q)  # residues < q, so both operands fit nl limbs
+    Mh = np.asarray(M, dtype=np.uint32)
+    M_limbs = [((Mh >> (8 * i)) & 0xFF).astype(np.int32) for i in range(nl)]
+    M_c = [jnp.asarray((Li - 128).astype(np.int8)) for Li in M_limbs]
+    M_rowsum = [jnp.asarray((Li - 128).sum(axis=1, dtype=np.int32)) for Li in M_limbs]
+
+    batch = x.shape[:-1]
+    X = jnp.moveaxis(x.reshape(-1, b), -1, 0)  # (b, N) uint32
+    X_limbs = [((X >> (8 * j)) & 0xFF).astype(jnp.int32) for j in range(nl)]
+    X_c = [(Lj - 128).astype(jnp.int8) for Lj in X_limbs]
+    X_colsum = [Lj.sum(axis=0) for Lj in X_limbs]  # (N,) int32, of raw limbs
+
+    # weight-class partial sums S_k = sum_{i+j=k} A_i @ X_j, exact in int32
+    S = [None] * (2 * nl - 1)
+    for i in range(nl):
+        for j in range(nl):
+            dot = jax.lax.dot_general(
+                M_c[i], X_c[j], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (a, N)
+            # de-center: A_i@X_j = dot + 128*rowsum(A_i^c) + 128*colsum(X_j)
+            # (colsum is of the RAW X limb, which absorbs the 128^2*b term)
+            p = dot + 128 * X_colsum[j][None, :] + (128 * M_rowsum[i])[:, None]
+            k = i + j
+            S[k] = p if S[k] is None else S[k] + p
+
+    res = jnp.zeros((a, X.shape[1]), dtype=jnp.uint32)
+    for k, Sk in enumerate(S):
+        w = pow(2, 8 * k, q)
+        term = zq.reduce_mod(Sk.astype(jnp.uint32), q)
+        if w != 1:
+            term = zq.mul_mod(term, jnp.uint32(w), q)
+        res = zq.add_mod(res, term, q)
+    return jnp.moveaxis(res, 0, -1).reshape(*batch, a)
 
 
 # ---------------------------------------------------------------------------

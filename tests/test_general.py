@@ -207,3 +207,42 @@ def test_general_m_gaussian_statistics():
     assert ints.shape == (200, 12)
     assert abs(float(ints.mean())) < 1.0
     assert 1.0 < float(ints.std()) < 30.0
+
+
+def test_matvec_mxu_bit_exact_vs_vpu():
+    """The MXU int8-limb matmul path == VPU path == bigint oracle, over
+    moduli spanning 1..4 limbs and shapes around the dispatch threshold."""
+    rng = np.random.default_rng(7)
+    for q in (251, 65521, 12289, 1032193, nt.ntt_primes(4096, 30, 1)[0]):
+        for a, b in ((2, 2), (16, 16), (7, 130), (130, 7), (96, 96)):
+            M = rng.integers(0, q, (a, b), dtype=np.uint64).astype(np.uint32)
+            x = rng.integers(0, q, (3, 4, b), dtype=np.uint64).astype(np.uint32)
+            vpu = gen.matvec_mod_jnp(jnp.asarray(M), jnp.asarray(x), q, use_mxu=False)
+            mxu = gen.matvec_mod_mxu(jnp.asarray(M), jnp.asarray(x), q)
+            ref = M.astype(object) @ x.reshape(-1, b).T.astype(object) % q
+            np.testing.assert_array_equal(np.asarray(vpu), np.asarray(mxu))
+            np.testing.assert_array_equal(
+                np.asarray(mxu).reshape(-1, a).T, ref.astype(np.uint32)
+            )
+
+
+def test_general_crt_agrees_with_mxu_forced_axis():
+    """Applying the MXU matvec on an odd axis == the auto-dispatched crt
+    leg for that axis (path choice never affects results)."""
+    rng = np.random.default_rng(8)
+    m = 45  # odd axes 9 and 5: phi 6 and 4, both below the auto threshold
+    q = q_for(m)
+    plan = gen.general_plan(m, q)
+    x = rand_poly(rng, m, q, (3,))
+    for i, ax in enumerate(plan.axes):
+        if ax.phi == 1 or ax.ntt2 is not None:
+            continue
+        vpu = gen._apply_axis(
+            plan, x, i,
+            lambda v, a=ax: gen.matvec_mod_jnp(jnp.asarray(a.M), v, q, use_mxu=False),
+        )
+        mxu = gen._apply_axis(
+            plan, x, i,
+            lambda v, a=ax: gen.matvec_mod_mxu(jnp.asarray(a.M), v, q),
+        )
+        np.testing.assert_array_equal(np.asarray(vpu), np.asarray(mxu))
