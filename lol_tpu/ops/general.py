@@ -126,10 +126,10 @@ def matvec_mod_mxu(M, x, q):
     if b > 4096:
         raise ValueError("matvec_mod_mxu: axis too large for int32 accum")
     nl = _limbs_needed(q)  # residues < q, so both operands fit nl limbs
-    Mh = np.asarray(M, dtype=np.uint32)
-    M_limbs = [((Mh >> (8 * i)) & 0xFF).astype(np.int32) for i in range(nl)]
-    M_c = [jnp.asarray((Li - 128).astype(np.int8)) for Li in M_limbs]
-    M_rowsum = [jnp.asarray((Li - 128).sum(axis=1, dtype=np.int32)) for Li in M_limbs]
+    Mu = jnp.asarray(M, dtype=jnp.uint32)  # jnp throughout: works for plan
+    M_limbs = [((Mu >> (8 * i)) & 0xFF).astype(jnp.int32) - 128 for i in range(nl)]
+    M_c = [Li.astype(jnp.int8) for Li in M_limbs]  # constants or tracers alike
+    M_rowsum = [Li.sum(axis=1) for Li in M_limbs]
 
     batch = x.shape[:-1]
     X = jnp.moveaxis(x.reshape(-1, b), -1, 0)  # (b, N) uint32
