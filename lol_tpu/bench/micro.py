@@ -87,6 +87,22 @@ def run(n: int = 4096, batch: int = 1024, nrns: int = 2, use_tpu=True):
     dj = jax.jit(lambda v: gd.decompose(gd.RnsGad(), ctx.basis, v))
     add("decompose (rns)", "xla", _time(dj, (xr,)))
 
+    # dense odd-axis DFT matvec (general-m CRT leg): VPU vs MXU paths
+    from ..ops import general as gen
+
+    q0 = qs[0]
+    phi = 96
+    Md = jnp.asarray(
+        rng.integers(0, q0, (phi, phi), dtype=np.uint64).astype(np.uint32)
+    )
+    xv = jnp.asarray(
+        rng.integers(0, q0, (batch, phi), dtype=np.uint64).astype(np.uint32)
+    )
+    vj = jax.jit(lambda v: gen.matvec_mod_jnp(Md, v, q0, use_mxu=False))
+    mj = jax.jit(lambda v: gen.matvec_mod_mxu(Md, v, q0))
+    add(f"denseDFT p{phi}", "vpu", _time(vj, (xv,)), count=batch)
+    add(f"denseDFT p{phi}", "mxu", _time(mj, (xv,)), count=batch)
+
     print(f"\nlol_tpu microbench: n={n}, batch={batch}, nrns={nrns}, device={dev}")
     print(f"{'op':<16} {'backend':<8} {'ms/call':>10} {'poly-ops/s':>14}")
     for op, backend, ms, rate in rows:
