@@ -10,7 +10,7 @@ from lol_tpu import numtheory as nt, zq
 from lol_tpu.factored import fact
 from lol_tpu.ops import general as gen
 
-MS = [3, 5, 8, 9, 12, 16, 21, 24, 36, 45, 60]
+MS = [3, 5, 8, 9, 12, 16, 21, 24, 36, 45, 51, 60]  # 51 = 3*17: phi-16 axis hits the MXU auto path
 
 
 def q_for(m: int) -> int:
