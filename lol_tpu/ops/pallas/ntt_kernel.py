@@ -93,21 +93,66 @@ def _wb(w, m, u_shape):
     return jnp.broadcast_to(w.reshape(target), u_shape)
 
 
-def _fwd_stage2(x, q, nloc, s, read_w):
+def _bf_fwd_exact(u, v, ws, q):
+    """DIT butterfly, fully-reduced form: inputs/outputs in [0, q)."""
+    m = ws[0].shape[0]
+    w, wsh = (_wb(a, m, u.shape) for a in ws)
+    t = zq.mul_mod_shoup(v, w, wsh, q)
+    return zq.add_mod(u, t, q), zq.sub_mod(u, t, q)
+
+
+def _bf_fwd_lazy(u, v, ws, q):
+    """DIT butterfly, Harvey lazy form: inputs/outputs in [0, 4q).
+
+    u is folded once into [0, 2q); the lazy Shoup multiply accepts any
+    u32 v and returns t in [0, 2q); outputs u''+t and u''+2q-t are both
+    in [0, 4q) — the stage invariant, valid for q < 2^30.  Saves the
+    three per-butterfly conditional corrections of the exact form."""
+    wsl, wshsl = ws
+    m = wsl.shape[0]
+    w = _wb(wsl, m, u.shape)
+    s1 = _wb(wshsl >> 16, m, u.shape)  # split on the (m, lanes) slice:
+    s0 = _wb(wshsl & 0xFFFF, m, u.shape)  # per-table-entry, not per-butterfly
+    q2 = jnp.uint32(2 * q)
+    t = zq.mul_shoup_lazy(v, w, s1, s0, q)
+    uu = jnp.where(u >= q2, u - q2, u)
+    return uu + t, uu + (q2 - t)
+
+
+def _bf_inv_exact(u, v, ws, q):
+    """GS butterfly, fully-reduced form."""
+    m = ws[0].shape[0]
+    w, wsh = (_wb(a, m, u.shape) for a in ws)
+    d = zq.mul_mod_shoup(zq.sub_mod(u, v, q), w, wsh, q)
+    return zq.add_mod(u, v, q), d
+
+
+def _bf_inv_lazy(u, v, ws, q):
+    """GS butterfly, lazy form: inputs/outputs in [0, 2q)."""
+    wsl, wshsl = ws
+    m = wsl.shape[0]
+    w = _wb(wsl, m, u.shape)
+    s1 = _wb(wshsl >> 16, m, u.shape)
+    s0 = _wb(wshsl & 0xFFFF, m, u.shape)
+    q2 = jnp.uint32(2 * q)
+    s = u + v  # < 4q
+    s = jnp.where(s >= q2, s - q2, s)
+    d = zq.mul_shoup_lazy(u + (q2 - v), w, s1, s0, q)  # arg < 4q, any u32 ok
+    return s, d
+
+
+def _fwd_stage2(x, q, nloc, s, read_w, bf=_bf_fwd_exact):
     """One radix-2 DIT stage."""
     m = 1 << s
     t = nloc >> (s + 1)
     rest = x.shape[1:]
-    w, wsh = read_w(m, m)
+    ws = read_w(m, m)
     xs = x.reshape(m, 2, t, *rest)
-    u = xs[:, 0]
-    v = zq.mul_mod_shoup(xs[:, 1], _wb(w, m, u.shape), _wb(wsh, m, u.shape), q)
-    return jnp.stack([zq.add_mod(u, v, q), zq.sub_mod(u, v, q)], axis=1).reshape(
-        nloc, *rest
-    )
+    nu, nv = bf(xs[:, 0], xs[:, 1], ws, q)
+    return jnp.stack([nu, nv], axis=1).reshape(nloc, *rest)
 
 
-def _fwd_stage_r(x, q, nloc, s, read_w, r):
+def _fwd_stage_r(x, q, nloc, s, read_w, r, bf=_bf_fwd_exact):
     """r fused radix-2 DIT stages (radix 2^r): one reshape/stack relayout
     pass for r stages.  The 2^r slices stay in place across the inner
     stages — at inner stage j, slices pair across bit (r-1-j) of the
@@ -120,27 +165,20 @@ def _fwd_stage_r(x, q, nloc, s, read_w, r):
     rest = x.shape[1:]
     xs = x.reshape(m, R, t, *rest)
     parts = [xs[:, i] for i in range(R)]
-    sh = parts[0].shape
     for j in range(r):
-        wj, wjs = read_w(m << j, m << j)  # ((m<<j), lanes)
-        wj = wj.reshape(m, 1 << j, -1)
-        wjs = wjs.reshape(m, 1 << j, -1)
+        wsj = [a.reshape(m, 1 << j, -1) for a in read_w(m << j, m << j)]
         step = 1 << (r - 1 - j)
         for i_u in range(R):
             if i_u & step:
                 continue
             i_v = i_u | step
             g_inner = i_u >> (r - j)
-            w = _wb(wj[:, g_inner], m, sh)
-            wsh = _wb(wjs[:, g_inner], m, sh)
-            v = zq.mul_mod_shoup(parts[i_v], w, wsh, q)
-            u = parts[i_u]
-            parts[i_u] = zq.add_mod(u, v, q)
-            parts[i_v] = zq.sub_mod(u, v, q)
+            ws = [a[:, g_inner] for a in wsj]
+            parts[i_u], parts[i_v] = bf(parts[i_u], parts[i_v], ws, q)
     return jnp.stack(parts, axis=1).reshape(nloc, *rest)
 
 
-def _ntt_net_fwd(x, q, nloc, read_w, rlog=1):
+def _ntt_net_fwd(x, q, nloc, read_w, rlog=1, bf=_bf_fwd_exact):
     """DIT network along axis 0 (length nloc); trailing axes carried.
     rlog = log2 of the fused-stage radix (1 = plain radix-2)."""
     kloc = nloc.bit_length() - 1
@@ -148,27 +186,23 @@ def _ntt_net_fwd(x, q, nloc, read_w, rlog=1):
     while s < kloc:
         r = min(rlog, kloc - s)
         if r == 1:
-            x = _fwd_stage2(x, q, nloc, s, read_w)
+            x = _fwd_stage2(x, q, nloc, s, read_w, bf)
         else:
-            x = _fwd_stage_r(x, q, nloc, s, read_w, r)
+            x = _fwd_stage_r(x, q, nloc, s, read_w, r, bf)
         s += r
     return x
 
 
-def _inv_stage2(x, q, nloc, s, read_w):
+def _inv_stage2(x, q, nloc, s, read_w, bf=_bf_inv_exact):
     h = 1 << s
     rest = x.shape[1:]
-    w, wsh = read_w(h, h)
+    ws = read_w(h, h)
     xs = x.reshape(h, 2, nloc >> (s + 1), *rest)
-    u = xs[:, 0]
-    v = xs[:, 1]
-    d = zq.mul_mod_shoup(
-        zq.sub_mod(u, v, q), _wb(w, h, u.shape), _wb(wsh, h, u.shape), q
-    )
-    return jnp.stack([zq.add_mod(u, v, q), d], axis=1).reshape(nloc, *rest)
+    nu, nv = bf(xs[:, 0], xs[:, 1], ws, q)
+    return jnp.stack([nu, nv], axis=1).reshape(nloc, *rest)
 
 
-def _inv_stage_r(x, q, nloc, s, read_w, r):
+def _inv_stage_r(x, q, nloc, s, read_w, r, bf=_bf_inv_exact):
     """r fused GS inverse stages covering global stages s+r-1 .. s (one
     relayout pass; mirror of _fwd_stage_r)."""
     h = 1 << s
@@ -177,35 +211,29 @@ def _inv_stage_r(x, q, nloc, s, read_w, r):
     rest = x.shape[1:]
     xs = x.reshape(h, R, t, *rest)
     parts = [xs[:, i] for i in range(R)]
-    sh = parts[0].shape
     for j in range(r - 1, -1, -1):
-        wj, wjs = read_w(h << j, h << j)
-        wj = wj.reshape(h, 1 << j, -1)
-        wjs = wjs.reshape(h, 1 << j, -1)
+        wsj = [a.reshape(h, 1 << j, -1) for a in read_w(h << j, h << j)]
         step = 1 << (r - 1 - j)
         for i_u in range(R):
             if i_u & step:
                 continue
             i_v = i_u | step
             g_inner = i_u >> (r - j)
-            w = _wb(wj[:, g_inner], h, sh)
-            wsh = _wb(wjs[:, g_inner], h, sh)
-            u, v = parts[i_u], parts[i_v]
-            parts[i_u] = zq.add_mod(u, v, q)
-            parts[i_v] = zq.mul_mod_shoup(zq.sub_mod(u, v, q), w, wsh, q)
+            ws = [a[:, g_inner] for a in wsj]
+            parts[i_u], parts[i_v] = bf(parts[i_u], parts[i_v], ws, q)
     return jnp.stack(parts, axis=1).reshape(nloc, *rest)
 
 
-def _ntt_net_inv(x, q, nloc, read_w, rlog=1):
+def _ntt_net_inv(x, q, nloc, read_w, rlog=1, bf=_bf_inv_exact):
     """GS inverse network along axis 0; stages high->low; no 1/n scale."""
     kloc = nloc.bit_length() - 1
     s = kloc
     while s > 0:
         r = min(rlog, s)
         if r == 1:
-            x = _inv_stage2(x, q, nloc, s - 1, read_w)
+            x = _inv_stage2(x, q, nloc, s - 1, read_w, bf)
         else:
-            x = _inv_stage_r(x, q, nloc, s - r, read_w, r)
+            x = _inv_stage_r(x, q, nloc, s - r, read_w, r, bf)
         s -= r
     return x
 
@@ -213,28 +241,51 @@ def _ntt_net_inv(x, q, nloc, read_w, rlog=1):
 # --- kernels ---------------------------------------------------------------
 
 
+def _scale_reduce(x, q, n_inv, n_inv_sh, lazy):
+    """Apply the 1/n scale; lazy path folds [0,2q) -> [0,q) afterwards."""
+    if not lazy:
+        return zq.mul_mod_shoup(x, jnp.uint32(n_inv), jnp.uint32(n_inv_sh), q)
+    x = zq.mul_shoup_lazy(
+        x, jnp.uint32(n_inv), jnp.uint32(n_inv_sh >> 16),
+        jnp.uint32(n_inv_sh & 0xFFFF), q,
+    )
+    return jnp.where(x >= jnp.uint32(q), x - jnp.uint32(q), x)
+
+
 def _kernel_cross(x_ref, w_ref, wsh_ref, o_ref, *, q, P, inverse, n_inv,
-                  n_inv_sh, rlog=1):
+                  n_inv_sh, rlog=1, lazy=False):
     """Cross-block stages: block (P, G, lanes), NTT along axis 0.  The
     first S global stages use group indices < P, so the twiddle tables
-    are just the plain DIT prefix psi_rev[:P]."""
+    are just the plain DIT prefix psi_rev[:P].
+
+    Lazy range discipline: the forward cross call is never last, so it
+    may emit [0, 4q) values (the block kernel's u-fold and multiply
+    accept them); the inverse cross call is always last, so it scales
+    and fully reduces."""
     x = x_ref[...]
 
     def read_w(lo, m):
         return w_ref[lo : lo + m, :], wsh_ref[lo : lo + m, :]
 
     if inverse:
-        x = _ntt_net_inv(x, q, P, read_w, rlog)
-        x = zq.mul_mod_shoup(x, jnp.uint32(n_inv), jnp.uint32(n_inv_sh), q)
+        x = _ntt_net_inv(x, q, P, read_w, rlog,
+                         _bf_inv_lazy if lazy else _bf_inv_exact)
+        x = _scale_reduce(x, q, n_inv, n_inv_sh, lazy)
     else:
-        x = _ntt_net_fwd(x, q, P, read_w, rlog)
+        x = _ntt_net_fwd(x, q, P, read_w, rlog,
+                         _bf_fwd_lazy if lazy else _bf_fwd_exact)
     o_ref[...] = x
 
 
 def _kernel_block(x_ref, w_ref, wsh_ref, o_ref, *, q, tS, inverse, n_inv,
-                  n_inv_sh, rlog=1):
+                  n_inv_sh, rlog=1, lazy=False):
     """Within-block stages: block (1, tS, lanes), NTT along axis 1 with
-    this block's private twiddle table."""
+    this block's private twiddle table.
+
+    Lazy range discipline: the forward block call is always last ->
+    fold [0, 4q) to [0, q) on the way out; the inverse block call is
+    last only when it owns the 1/n scale (S == 0), else it hands
+    [0, 2q) values to the cross call."""
     x = x_ref[0]
     w_all = w_ref[0]
     wsh_all = wsh_ref[0]
@@ -243,11 +294,17 @@ def _kernel_block(x_ref, w_ref, wsh_ref, o_ref, *, q, tS, inverse, n_inv,
         return w_all[lo : lo + m, :], wsh_all[lo : lo + m, :]
 
     if inverse:
-        x = _ntt_net_inv(x, q, tS, read_w, rlog)
+        x = _ntt_net_inv(x, q, tS, read_w, rlog,
+                         _bf_inv_lazy if lazy else _bf_inv_exact)
         if n_inv is not None:
-            x = zq.mul_mod_shoup(x, jnp.uint32(n_inv), jnp.uint32(n_inv_sh), q)
+            x = _scale_reduce(x, q, n_inv, n_inv_sh, lazy)
     else:
-        x = _ntt_net_fwd(x, q, tS, read_w, rlog)
+        x = _ntt_net_fwd(x, q, tS, read_w, rlog,
+                         _bf_fwd_lazy if lazy else _bf_fwd_exact)
+        if lazy:
+            q2, qq = jnp.uint32(2 * q), jnp.uint32(q)
+            x = jnp.where(x >= q2, x - q2, x)
+            x = jnp.where(x >= qq, x - qq, x)
     o_ref[0] = x
 
 
@@ -256,7 +313,7 @@ def _kernel_block(x_ref, w_ref, wsh_ref, o_ref, *, q, tS, inverse, n_inv,
 
 @lru_cache(maxsize=512)
 def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
-           rlog: int = 1):
+           rlog: int = 1, lazy: bool = True):
     """Jitted (n, B) -> (n, B) column-major negacyclic NTT."""
     n, q = plan.n, plan.q
     k, S, tS = _split(n)
@@ -282,7 +339,7 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
         B = x3.shape[-1]
         kern = partial(
             _kernel_cross, q=q, P=P, inverse=inverse,
-            n_inv=plan.n_inv, n_inv_sh=plan.n_inv_sh, rlog=rlog,
+            n_inv=plan.n_inv, n_inv_sh=plan.n_inv_sh, rlog=rlog, lazy=lazy,
         )
         return pl.pallas_call(
             kern,
@@ -311,6 +368,7 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
             _kernel_block, q=q, tS=tS, inverse=inverse,
             n_inv=plan.n_inv if scale_in_block else None,
             n_inv_sh=plan.n_inv_sh if scale_in_block else None, rlog=rlog,
+            lazy=lazy,
         )
         return pl.pallas_call(
             kern,
@@ -350,7 +408,8 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
 
 
 def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
-           interpret: bool = False, radix: int | None = None):
+           interpret: bool = False, radix: int | None = None,
+           lazy: bool = True):
     """Negacyclic NTT over axis 0 of a column-major (n, B) u32 array.
 
     B must be a multiple of `lanes`.  Defaults tuned on v5e at n=4096,
@@ -375,7 +434,7 @@ def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
     rlog = radix.bit_length() - 1
     if radix != 1 << rlog or rlog < 1:
         raise ValueError(f"ntt_cm: radix {radix} must be a power of 2 >= 2")
-    return _build(plan, inverse, lanes, interpret, rlog)(x)
+    return _build(plan, inverse, lanes, interpret, rlog, lazy)(x)
 
 
 def ntt_batched(x, plan: NTTPlan, inverse: bool = False, interpret: bool = False):

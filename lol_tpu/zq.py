@@ -148,6 +148,30 @@ def mul_mod_shoup(a, w, w_sh, q):
     return jnp.where(r >= qq, r - qq, r)
 
 
+def mul_shoup_lazy(a, w, w_sh_hi, w_sh_lo, q):
+    """Harvey-style lazy Shoup multiply: (a*w) mod-ish q in [0, 2q).
+
+    Same quotient estimate as `mul_mod_shoup` but (1) the final
+    conditional subtraction is skipped — callers keep values in a
+    [0, 2q)/[0, 4q) redundant form and fully reduce once at the end —
+    and (2) the Shoup companion arrives pre-split into 16-bit halves
+    (w_sh_hi = w_sh >> 16, w_sh_lo = w_sh & 0xFFFF), which for
+    lane-replicated twiddle tables moves 2 ops per butterfly out to
+    2 ops per table slice.
+
+    Exact guarantee (Harvey 2014, arXiv:1205.2926 lemma 2 shape): for
+    ANY a in [0, 2^32) and w in [0, q), the result is == a*w (mod q)
+    and lies in [0, 2q), since floor(a*w_sh/2^32) is floor(a*w/q) or
+    floor(a*w/q)-1."""
+    a0 = a & 0xFFFF
+    a1 = a >> 16
+    w0 = a0 * w_sh_lo
+    t = a1 * w_sh_lo + (w0 >> 16)
+    w1 = (t & 0xFFFF) + a0 * w_sh_hi
+    hi = a1 * w_sh_hi + (t >> 16) + (w1 >> 16)
+    return a * w - hi * jnp.uint32(q)  # wrapping; true value in [0, 2q)
+
+
 # ---------------------------------------------------------------------------
 # exact numpy mirror (reference backend / plan building)
 # ---------------------------------------------------------------------------

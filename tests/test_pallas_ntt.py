@@ -40,6 +40,21 @@ def test_pallas_nonmultiple_batch_padding(rng):
 
 
 @pytest.mark.parametrize("inverse", [False, True])
+def test_lazy_matches_exact_at_max_modulus(inverse, rng):
+    """Harvey lazy-reduction path == fully-reduced path, bit-exact, at a
+    modulus near 2^30 (the tight end of the 4q < 2^32 range proof)."""
+    n = 512
+    q = nt.ntt_primes(2 * n, 30, 1)[0]
+    plan = ntt.ntt_plan(n, q)
+    a = rng.integers(0, q, (n, 128), dtype=np.uint64).astype(np.uint32)
+    a[0, :] = q - 1  # extremal residues stress the [0, 4q) bound
+    a = jnp.asarray(a)
+    exact = pk.ntt_cm(a, plan, inverse=inverse, interpret=True, lazy=False)
+    lazy = pk.ntt_cm(a, plan, inverse=inverse, interpret=True, lazy=True)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(lazy))
+
+
+@pytest.mark.parametrize("inverse", [False, True])
 @pytest.mark.parametrize("radix", [4, 8, 16])
 def test_fused_radix_matches_radix2(inverse, radix, rng):
     n, q = 1024, 12289
