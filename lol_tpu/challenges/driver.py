@@ -191,9 +191,20 @@ def main(argv=None) -> int:
     g.add_argument("--seed", type=int, default=0)
     s = sub.add_parser("suppress")
     s.add_argument("root")
+    s.add_argument("--beacon-records", default=None,
+                   help="directory of pre-fetched NIST beacon records "
+                        "(<epoch>.xml v1 / <epoch>.json v2); default: "
+                        "offline LocalBeacon")
     v = sub.add_parser("verify")
     v.add_argument("root")
+    v.add_argument("--beacon-records", default=None)
     args = ap.parse_args(argv)
+
+    def _beacon():
+        from .beacon import NistRecordBeacon
+
+        rec = getattr(args, "beacon_records", None)
+        return NistRecordBeacon(rec) if rec else None
     if args.cmd == "generate":
         params = []
         for line in Path(args.params).read_text().splitlines():
@@ -213,11 +224,11 @@ def main(argv=None) -> int:
         print(f"generated {len(params)} challenges under {args.root}")
         return 0
     if args.cmd == "suppress":
-        suppress(Path(args.root))
+        suppress(Path(args.root), beacon=_beacon())
         print("suppressed")
         return 0
     if args.cmd == "verify":
-        ok = verify(Path(args.root))
+        ok = verify(Path(args.root), beacon=_beacon())
         print("verify:", "OK" if ok else "FAILED")
         return 0 if ok else 1
     return 2

@@ -155,3 +155,78 @@ def test_tunnel_hint_and_ct_encoding_roundtrip(rng):
     )
     assert back_ct.encoding == "msd"
     np.testing.assert_array_equal(she.decrypt(sk_r, back_ct), m % pr.p)
+
+
+def _write_v1_record(d, epoch: int, sig: bytes):
+    import hashlib
+
+    out = hashlib.sha512(sig).hexdigest().upper()
+    (d / f"{epoch}.xml").write_text(
+        "<record xmlns=\"http://beacon.nist.gov/record/0.1/\">"
+        f"<timeStamp>{epoch}</timeStamp>"
+        f"<signatureValue>{sig.hex().upper()}</signatureValue>"
+        f"<outputValue>{out}</outputValue></record>"
+    )
+    return bytes.fromhex(out)
+
+
+def test_nist_record_beacon_v1_and_v2(tmp_path):
+    import hashlib
+    import json
+
+    from lol_tpu.challenges.beacon import NistRecordBeacon
+
+    sig = bytes(range(256))
+    want = _write_v1_record(tmp_path, 1400000000, sig)
+    # v2 json record for another epoch
+    out2 = hashlib.sha512(b"pulse").hexdigest()
+    (tmp_path / "1500000000.json").write_text(
+        json.dumps({"pulse": {"timeStamp": "t", "outputValue": out2}})
+    )
+    b = NistRecordBeacon(tmp_path)
+    assert b.record(1400000000) == want
+    assert b.record(1500000000) == bytes.fromhex(out2)
+    # bits() slices the 512-bit output like LocalBeacon does
+    assert b.bits(1400000000, 0, 8) == want[0]
+    with pytest.raises(FileNotFoundError):
+        b.record(1234)
+
+
+def test_nist_record_beacon_detects_corruption(tmp_path):
+    from lol_tpu.challenges.beacon import NistRecordBeacon
+
+    import hashlib
+
+    good = _write_v1_record(tmp_path, 99, b"\x01" * 64).hex().upper()
+    # tamper with outputValue: chain check outputValue==SHA512(sig) fails
+    f = tmp_path / "99.xml"
+    forged = hashlib.sha512(b"forged").hexdigest().upper()
+    f.write_text(f.read_text().replace(good, forged))
+    b = NistRecordBeacon(tmp_path)
+    with pytest.raises(ValueError):
+        b.record(99)
+
+
+def test_challenges_suppress_verify_with_nist_beacon(tmp_path):
+    from lol_tpu.challenges.beacon import NistRecordBeacon
+
+    q = nt.ntt_primes(64, 30, 1)[0]
+    recs = tmp_path / "records"
+    recs.mkdir()
+    _write_v1_record(recs, 42, b"beacon-sig")
+    params = [ChallengeParams(0, 64, q, 4.0, 3, "disc", beacon_epoch=42)]
+    generate(tmp_path / "out", params, seed=3)
+    b = NistRecordBeacon(recs)
+    suppress(tmp_path / "out", beacon=b)
+    assert len(list((tmp_path / "out" / "chall-id0000").glob("*.secret"))) == 2
+    assert verify(tmp_path / "out", beacon=b) is True
+    # a different beacon record picks (in general) a different survivor:
+    # verifying against the WRONG beacon must fail the consistency check
+    recs2 = tmp_path / "records2"
+    recs2.mkdir()
+    _write_v1_record(recs2, 42, b"other-sig")
+    b2 = NistRecordBeacon(recs2)
+    keep1 = b.bits(42, 0, 2) % 3
+    keep2 = b2.bits(42, 0, 2) % 3
+    if keep1 != keep2:
+        assert verify(tmp_path / "out", beacon=b2) is False
