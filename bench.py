@@ -23,7 +23,7 @@ def main():
     n = 4096
     qs = nt.ntt_primes(2 * n, 30, 2)  # 2 x 30-bit primes ~ one 60-bit modulus
     plans = [ntt.ntt_plan(n, q) for q in qs]
-    B = 8192
+    B = 16384  # measured on v5e: 1.71M NTT/s vs 1.47M at B=8192 (grid amortization)
     rng = np.random.default_rng(0)
     xs = [
         jnp.asarray(rng.integers(0, q, (n, B), dtype=np.uint64).astype(np.uint32))
