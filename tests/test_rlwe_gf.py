@@ -30,7 +30,14 @@ def test_rlwe_continuous_shapes():
     s = sampling.gaussian_cyc(CTX, key, 4.0)
     a, b = rlwe.sample_continuous(CTX, s, 1.0, key)
     assert b.shape == (CTX.n,)
-    assert b.dtype == jnp.float32
+    assert b.dtype == np.float64  # full-precision host coords (VERDICT r1 #7)
+    # derived bounds: the actual error passes its own bound, zero doesn't
+    e = b - np.array(
+        [float(int(v)) for v in (a * s).to_dec().lift_ints()], dtype=np.float64
+    )
+    bnd = rlwe.gaussian_quad_bound(CTX, 1.0, gram="id", rounded=False)
+    assert float(np.sum(e * e)) <= bnd
+    assert bnd < 10 * CTX.n  # tight-ish: E[sum e^2] = n*var = n
 
 
 def test_rlwr_deterministic():

@@ -347,3 +347,157 @@ def test_ct_galois_matches_plaintext_automorphism(setup, rng):
         want = Cyc.from_ints(aux, mc, rep=_Rep.DEC).galois(
             k % PARAMS.m).lift_ints() % p
         np.testing.assert_array_equal(got, np.array([int(v) for v in want]))
+
+
+# ---------------------------------------------------------------------------
+# MSD encoding through the FULL op set (VERDICT r1 #1: every CT op must
+# thread the encoding; mod_switch must use the MSD rescale)
+# ---------------------------------------------------------------------------
+
+
+def test_msd_sub_and_public_ops(setup, rng):
+    sk = she.gen_sk(PARAMS, jax.random.PRNGKey(70))
+    m1, m2 = she.pt_random(PARAMS, rng), she.pt_random(PARAMS, rng)
+    pub = she.pt_random(PARAMS, rng)
+    c1 = she.encrypt_msd(sk, m1, jax.random.PRNGKey(71))
+    c2 = she.encrypt_msd(sk, m2, jax.random.PRNGKey(72))
+    d = she.ct_sub(c1, c2)
+    assert d.encoding == "msd"
+    np.testing.assert_array_equal(she.decrypt(sk, d), (m1 - m2) % PARAMS.p)
+    ap = she.add_public(c1, pub)
+    assert ap.encoding == "msd"
+    np.testing.assert_array_equal(
+        she.decrypt(sk, ap), she.pt_add(PARAMS, m1, pub)
+    )
+    mp = she.mul_public(c1, pub)
+    assert mp.encoding == "msd"
+    np.testing.assert_array_equal(
+        she.decrypt(sk, mp), she.pt_mul(PARAMS, m1, pub)
+    )
+
+
+def test_msd_mod_switch(rng):
+    sk = she.gen_sk(PARAMS, jax.random.PRNGKey(73))
+    m = she.pt_random(PARAMS, rng)
+    ct = she.encrypt_msd(sk, m, jax.random.PRNGKey(74))
+    ct2 = she.mod_switch(ct)
+    assert ct2.encoding == "msd" and ct2.f == ct.f
+    sk2 = she.SK(ct2.params, sk.s_ints, sk.var)
+    np.testing.assert_array_equal(she.decrypt(sk2, ct2), m)
+    ct3 = she.mod_switch(ct2)
+    sk3 = she.SK(ct3.params, sk.s_ints, sk.var)
+    np.testing.assert_array_equal(she.decrypt(sk3, ct3), m)
+
+
+def test_msd_keyswitch_quad(setup, rng):
+    sk = she.gen_sk(PARAMS, jax.random.PRNGKey(75))
+    m1, m2 = she.pt_random(PARAMS, rng), she.pt_random(PARAMS, rng)
+    c1 = she.encrypt_msd(sk, m1, jax.random.PRNGKey(76))
+    c2 = she.encrypt_msd(sk, m2, jax.random.PRNGKey(77))
+    hint = she.ks_quad_circ_hint(sk, gd.RnsGad(), jax.random.PRNGKey(78))
+    lin = she.key_switch_quad_circ(hint, she.ct_mul(c1, c2))
+    assert lin.degree == 1 and lin.encoding == "msd"
+    np.testing.assert_array_equal(
+        she.decrypt(sk, lin), she.pt_mul(PARAMS, m1, m2)
+    )
+
+
+def test_msd_keyswitch_linear_and_galois(setup, rng):
+    sk = she.gen_sk(PARAMS, jax.random.PRNGKey(79))
+    sk2 = she.gen_sk(PARAMS, jax.random.PRNGKey(80))
+    m = she.pt_random(PARAMS, rng)
+    ct = she.encrypt_msd(sk, m, jax.random.PRNGKey(81))
+    hint = she.ks_linear_hint(sk2, sk, gd.RnsGad(), jax.random.PRNGKey(82))
+    out = she.key_switch_linear(hint, ct)
+    assert out.encoding == "msd"
+    np.testing.assert_array_equal(she.decrypt(sk2, out), m)
+
+
+def test_msd_embed_twace(setup, rng):
+    sk = she.gen_sk(PARAMS, jax.random.PRNGKey(83))
+    m = she.pt_random(PARAMS, rng)
+    ct = she.encrypt_msd(sk, m, jax.random.PRNGKey(84))
+    ct_up = she.embed_ct(ct, 256)
+    assert ct_up.encoding == "msd"
+    ct_down = she.twace_ct(ct_up, M)
+    assert ct_down.encoding == "msd"
+    np.testing.assert_array_equal(she.decrypt(sk, ct_down), m)
+
+
+def test_msd_full_pipeline_mul_ks_modswitch_tunnel(rng):
+    """The VERDICT's done-condition: drive one MSD ct through
+    mul -> keyswitch -> modswitch -> tunnel -> decrypt."""
+    from lol_tpu import linear as lin
+    from lol_tpu.cyc import Cyc
+    from lol_tpu.ring import ring_context
+
+    me, mr, ms, p = 16, 32, 64, 257
+    qs = tuple(nt.ntt_primes(int(np.lcm(np.lcm(me, mr), ms)), 30, 3))
+    E, R, S = (ring_context(m, qs) for m in (me, mr, ms))
+    pr = she.SHEParams(m=mr, p=p, qs=qs, var=2.0)
+    key = jax.random.PRNGKey(90)
+    kr, ks_, kh, kt, k1, k2 = jax.random.split(key, 6)
+    sk_r = she.gen_sk(pr, kr)
+    m1, m2 = she.pt_random(pr, rng), she.pt_random(pr, rng)
+    c1 = she.encrypt_msd(sk_r, m1, k1)
+    c2 = she.encrypt_msd(sk_r, m2, k2)
+    # mul (MSD*MSD) + relinearize at the full chain
+    hint = she.ks_quad_circ_hint(sk_r, gd.RnsGad(), kh)
+    ct = she.key_switch_quad_circ(hint, she.ct_mul(c1, c2))
+    # modswitch down one prime (MSD rescale, f unchanged)
+    ct = she.mod_switch(ct)
+    assert ct.encoding == "msd"
+    qs2 = ct.params.qs
+    R2, S2, E2 = (ring_context(m, qs2) for m in (mr, ms, me))
+    sk_r2 = she.SK(ct.params, sk_r.s_ints, sk_r.var)
+    ps2 = she.SHEParams(m=ms, p=p, qs=qs2, var=2.0)
+    sk_s = she.gen_sk(ps2, ks_)
+    ys = [Cyc.from_ints(S2, rng.integers(-2, 3, S2.n)) for _ in range(R2.n // E2.n)]
+    f = lin.linear_pow(E2, R2, S2, ys)
+    th = she.tunnel_hint(f, sk_s, sk_r2, gd.RnsGad(), kt)
+    out = she.tunnel(th, ct)
+    assert out.encoding == "msd"
+    got = she.decrypt(sk_s, out)
+    # expected: evalLin over an exact aux chain applied to m1*m2
+    prod_pt = she.pt_mul(pr, m1, m2)
+    aux = tuple(nt.ntt_primes(int(np.lcm(np.lcm(me, mr), ms)), 29, 3))
+    Ea, Ra, Sa = (ring_context(mm, aux) for mm in (me, mr, ms))
+    ysa = [Cyc.from_ints(Sa, y.lift_ints(rep=_Rep.POW)) for y in ys]
+    fa = lin.linear_pow(Ea, Ra, Sa, ysa)
+    x = Cyc.from_ints(Ra, prod_pt, rep=_Rep.DEC)
+    want_elt = lin.eval_lin(fa, x)
+    want = np.array(
+        [int(v) % p for v in want_elt.lift_ints(rep=_Rep.DEC)], dtype=np.int64
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_msd_ext_keyswitch(setup, rng):
+    sk = she.gen_sk(PARAMS, jax.random.PRNGKey(95))
+    m1, m2 = she.pt_random(PARAMS, rng), she.pt_random(PARAMS, rng)
+    c1 = she.encrypt_msd(sk, m1, jax.random.PRNGKey(96))
+    c2 = she.encrypt_msd(sk, m2, jax.random.PRNGKey(97))
+    prod = she.ct_mul(c1, c2)
+    special = tuple(q for q in nt.ntt_primes(512, 29, 6) if q not in QS)[:2]
+    hint = she.ks_quad_circ_hint_ext(sk, gd.RnsGad(), jax.random.PRNGKey(98),
+                                     special)
+    lin = she.key_switch_quad_circ_ext(hint, prod)
+    assert lin.encoding == "msd"
+    np.testing.assert_array_equal(
+        she.decrypt(sk, lin), she.pt_mul(PARAMS, m1, m2)
+    )
+
+
+def test_msd_align_different_scales(rng):
+    """_align under MSD: scale-mismatched adds still decrypt correctly
+    (f differs after an LSD->MSD conversion chain)."""
+    sk = she.gen_sk(PARAMS, jax.random.PRNGKey(99))
+    m1, m2 = she.pt_random(PARAMS, rng), she.pt_random(PARAMS, rng)
+    c1 = she.encrypt_msd(sk, m1, jax.random.PRNGKey(100))
+    # c2 via LSD->MSD conversion: picks up f = -Q^{-1} mod p != 1
+    c2 = she.to_msd(she.encrypt(sk, m2, jax.random.PRNGKey(101)))
+    assert c1.f != c2.f
+    s = she.ct_add(c1, c2)
+    np.testing.assert_array_equal(she.decrypt(sk, s), she.pt_add(PARAMS, m1, m2))
+    d = she.ct_sub(c1, c2)
+    np.testing.assert_array_equal(she.decrypt(sk, d), (m1 - m2) % PARAMS.p)
