@@ -29,7 +29,7 @@ def main():
     sk_r, sk_s = she.gen_sk(pr, k1), she.gen_sk(ps, k2)
     hints, sk_out = prf.make_eval_hints(
         fam, [sk_r, sk_s], [32, 2], [2], gd.RnsGad(), kh,
-        p_final=2, homomorphic_round=True,
+        p_final=2, homomorphic_round=True, maps="project",
     )
     rng = np.random.default_rng(2)
     s_pt = rng.integers(0, p, pr.ctx.n).astype(np.int64)  # the PRF key
@@ -41,7 +41,7 @@ def main():
     proj = lin.linear_pow(ctx8s, ctx8r, ctx8s, ys)
 
     for bits in [(0, 0, 1), (1, 0, 1), (1, 1, 1)]:
-        out_ct = prf.homom_prf(fam, hints, ct_s, bits)
+        out_ct = prf.homom_prf_component(fam, hints, ct_s, bits, 0)
         got = int(she.decrypt(sk_out, out_ct)[0])
         # clear pipeline: multiply, project to the scalar coeff, round
         a0 = np.array(

@@ -247,6 +247,37 @@ def correct_host(spec: GadgetSpec, basis: RnsBasis, noisy: np.ndarray):
                 errs[j, t] = e[j]
             xs[t] = (w[0] - e[0]) % Q
         return xs.reshape(shape), errs.reshape((ell,) + shape)
+    if isinstance(spec, RnsGad):
+        # noisy_j = g_j x + e_j with g_j = 1 mod q_j, 0 mod q_{i!=j}: the
+        # off-channel residues of digit j are exactly e_j mod q_i, so e_j
+        # is the centered CRT over Q/q_j (correctness regime
+        # |e_j| < (Q/q_j)/2); then x mod q_j = noisy_j - e_j in channel j
+        # and x follows by CRT across digits.  Degenerate single-prime
+        # chains (Q/q_0 = 1) carry no error information: e := 0.
+        from .rns import rns_basis as _rns_basis
+
+        qs = basis.qs
+        L = len(qs)
+        noisy = np.asarray(noisy)
+        shape = noisy.shape[1:-2] + noisy.shape[-1:]  # drop digit+rns axes
+        if L == 1:
+            x = basis.from_rns(np.moveaxis(noisy[0], -2, 0))
+            return x, np.zeros((1,) + shape, dtype=object)
+        errs = np.empty((L,) + shape, dtype=object)
+        x_res = np.empty((L,) + shape, dtype=object)
+        for j in range(L):
+            others = [i for i in range(L) if i != j]
+            sub = _rns_basis(tuple(qs[i] for i in others))
+            chans = np.stack(
+                [np.asarray(noisy[j][..., i, :], dtype=np.uint64)
+                 for i in others]
+            )
+            e_j = sub.lift_centered(chans)
+            errs[j] = e_j
+            wj = noisy[j][..., j, :].astype(object)
+            x_res[j] = (wj - e_j) % qs[j]
+        x = basis.from_rns(x_res)
+        return x, errs
     raise TypeError(f"correct not supported for {spec}")
 
 

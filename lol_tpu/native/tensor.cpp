@@ -163,7 +163,72 @@ void mul_g_pow(const u32* x, u32* out, long batch, long p, long inner, u32 q) {
   }
 }
 
-// gSqNormDec for 2-power m: sum of squared centered lifts (norm.cpp analog)
+// divG powerful basis (g.cpp analog): exact inverse of the mul_g_pow
+// stencil.  From y = g*x with (zeta x)[t] = x[t-1] (t>=1) - x[p-2]:
+//   sum_t y[t] = p * x[p-2]          => x[p-2] = p^{-1} sum_t y[t]
+//   x[0] = y[0] - x[p-2];  x[t] = y[t] + x[t-1] - x[p-2]  (t >= 1).
+// Over Z_q with gcd(p, q) = 1 the division always succeeds (the
+// reference's Maybe flag concerns the integer-coefficient tensor).
+void div_g_pow(const u32* x, u32* out, long batch, long p, long inner, u32 q,
+               u32 p_inv) {
+  long lvl = p - 1;
+  for (long b = 0; b < batch; ++b) {
+    const u32* blk = x + b * lvl * inner;
+    u32* ob = out + b * lvl * inner;
+    for (long r = 0; r < inner; ++r) {
+      u64 s = 0;
+      for (long t = 0; t < lvl; ++t) s += blk[t * inner + r];
+      u32 xl = (u32)(s % q * p_inv % q);  // x[p-2]
+      u32 prev = 0;
+      for (long t = 0; t < lvl; ++t) {
+        u64 v = (u64)blk[t * inner + r] + q - xl;  // y[t] - x[p-2]
+        if (t >= 1) v += prev;                     // + x[t-1]
+        prev = (u32)(v % q);
+        ob[t * inner + r] = prev;
+      }
+      // prev now holds x[p-2] recomputed; consistency is guaranteed mod q
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// cross-ring index ops (tensor.cpp twace/embed/coeffs analog): static
+// gather / scatter tables computed by the plan layer (ops/general.py).
+// ---------------------------------------------------------------------------
+
+void gather_idx(const u32* x, u32* out, long batch, long n_out,
+                const long* tbl, long n_in) {
+  for (long b = 0; b < batch; ++b)
+    for (long i = 0; i < n_out; ++i) out[b * n_out + i] = x[b * n_in + tbl[i]];
+}
+
+void scatter_idx(const u32* x, u32* out, long batch, long n_in,
+                 const long* tbl, long n_out) {
+  for (long b = 0; b < batch; ++b) {
+    u32* ob = out + b * n_out;
+    for (long i = 0; i < n_out; ++i) ob[i] = 0;
+    for (long i = 0; i < n_in; ++i) ob[tbl[i]] = x[b * n_in + i];
+  }
+}
+
+// out[b, i] = sum_{j < k} x[b, i*k + j] mod q (the twaceCRT coset sum)
+void strided_sum(const u32* x, u32* out, long batch, long n_sub, long k,
+                 u32 q) {
+  for (long b = 0; b < batch; ++b)
+    for (long i = 0; i < n_sub; ++i) {
+      u64 acc = 0;
+      const u32* grp = x + (b * n_sub + i) * k;
+      for (long j = 0; j < k; ++j) acc += grp[j];
+      out[b * n_sub + i] = (u32)(acc % q);
+    }
+}
+
+// ---------------------------------------------------------------------------
+// gSqNormDec (norm.cpp analog)
+// ---------------------------------------------------------------------------
+
+// 2-power m: n * (sum of squared centered lifts)... callers scale; this
+// returns the raw sum of squares (matching the python oracle convention).
 void gsq_norm_pow2(const u32* x, double* out, long batch, long n, u32 q) {
   for (long b = 0; b < batch; ++b) {
     double acc = 0;
@@ -173,6 +238,23 @@ void gsq_norm_pow2(const u32* x, double* out, long batch, long n, u32 q) {
       acc += (double)v * (double)v;
     }
     out[b] = acc;
+  }
+}
+
+// general m: exact x^T G x over centered int64 lifts with 128-bit
+// accumulation (G = integer Gram of the g-scaled decoding basis).
+void gsq_norm_gram(const long long* x, const long long* G, double* out,
+                   long batch, long n) {
+  for (long b = 0; b < batch; ++b) {
+    const long long* v = x + b * n;
+    __int128 total = 0;
+    for (long i = 0; i < n; ++i) {
+      __int128 row = 0;
+      const long long* g = G + i * n;
+      for (long j = 0; j < n; ++j) row += (__int128)g[j] * v[j];
+      total += row * v[i];
+    }
+    out[b] = (double)total;
   }
 }
 

@@ -355,7 +355,17 @@ def _mul_g_axis_pow(v, pp: PrimePower, q):
 def _g_matrices(p: int, e: int, q: int):
     """Per-axis matrices: G_pow (mult by g_p), its inverse, and the dec
     conjugates L^-1 G L — all (phi, phi) uint32, host-built via the
-    stencil applied to basis vectors."""
+    stencil applied to basis vectors.
+
+    lru_cached + runs jnp ops: the ExitStack pins compile-time eval so a
+    first call from inside an outer jit trace cannot capture tracers."""
+    import jax as _jax
+
+    with _jax.ensure_compile_time_eval():
+        return _g_matrices_impl(p, e, q)
+
+
+def _g_matrices_impl(p: int, e: int, q: int):
     pp = PrimePower(p, e)
     phi = pp.phi
     eye = np.eye(phi, dtype=np.uint32)
@@ -537,15 +547,10 @@ def embed_crt(m_sub: int, m_sup: int, q: int, x):
     return x[..., tbl]
 
 
-def twace_crt(m_sub: int, m_sup: int, q: int, x):
-    """Tweaked trace in CRT: Tw(x) = t' * Tr(x / t) with twists
-    t = mhat/g per ring: pointwise-divide by CRT(t), coset-sum,
-    pointwise-multiply by CRT(t').  (Matches the pow-basis projection;
-    for 2-power towers it degenerates to the coset mean.)"""
-    tbl = crt_embed_table(m_sub, m_sup, q)
-    n_sub = fact(m_sub).phi
-    k = fact(m_sup).phi // n_sub
-    # pre[u] = t(u)^-1 = g(u) * mhat^-1 ; post[u'] = t'(u') = mhat' * g'(u')^-1
+@lru_cache(maxsize=512)
+def twace_crt_twists(m_sub: int, m_sup: int, q: int):
+    """(pre, post) uint32 twist vectors for the CRT tweaked trace:
+    pre[u] = t(u)^-1 = g(u) * mhat^-1 ; post[u'] = t'(u') = mhat' * g'(u')^-1."""
     g_sup = _g_crt_vec(m_sup, q).astype(np.int64)
     g_sub = _g_crt_vec(m_sub, q).astype(np.int64)
     mh_inv = nt.modinv(fact(m_sup).mhat % q, q)
@@ -554,6 +559,18 @@ def twace_crt(m_sub: int, m_sup: int, q: int, x):
     post = np.array(
         [mh_sub * nt.modinv(int(v), q) % q for v in g_sub], dtype=np.uint32
     )
+    return pre, post
+
+
+def twace_crt(m_sub: int, m_sup: int, q: int, x):
+    """Tweaked trace in CRT: Tw(x) = t' * Tr(x / t) with twists
+    t = mhat/g per ring: pointwise-divide by CRT(t), coset-sum,
+    pointwise-multiply by CRT(t').  (Matches the pow-basis projection;
+    for 2-power towers it degenerates to the coset mean.)"""
+    tbl = crt_embed_table(m_sub, m_sup, q)
+    n_sub = fact(m_sub).phi
+    k = fact(m_sup).phi // n_sub
+    pre, post = twace_crt_twists(m_sub, m_sup, q)
     y = zq.mul_mod(x, jnp.asarray(pre), q)
     order = np.argsort(tbl, kind="stable")
     g = y[..., jnp.asarray(order)].reshape(*x.shape[:-1], n_sub, k)
@@ -637,7 +654,15 @@ def coeffs_rel(m_sub: int, m_sup: int, x):
 def _dec_basis_complex(m: int) -> np.ndarray:
     """(n, n) complex matrix E with E[u_idx, j] = sigma_u(d_j): the
     canonical embedding of the decoding basis, built from the powerful
-    basis embedding and the per-axis L matrices (dec = pow @ L)."""
+    basis embedding and the per-axis L matrices (dec = pow @ L).
+    lru_cached + runs jnp ops: pin compile-time eval (see _g_matrices)."""
+    import jax as _jax
+
+    with _jax.ensure_compile_time_eval():
+        return _dec_basis_complex_impl(m)
+
+
+def _dec_basis_complex_impl(m: int) -> np.ndarray:
     f = fact(m)
     n = f.phi
     # powerful-basis exponents E(j)

@@ -324,18 +324,29 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
     src, src_sh = (
         (plan.ipsi_rev, plan.ipsi_rev_sh) if inverse else (plan.psi_rev, plan.psi_rev_sh)
     )
-    wA = jnp.asarray(_lane_rep(src[:P], lanes))
-    wAs = jnp.asarray(_lane_rep(src_sh[:P], lanes))
+    # Twiddle tables are kept COMPACT ((P,) and (nblk, tS) numpy) and
+    # lane-broadcast inside the jitted run():
+    #  - compact + numpy means the HLO embeds only ~64KB literals per
+    #    plan; materializing the (nblk, tS, lanes) lane replication here
+    #    made the fused n=2^14 BGV step carry ~0.5GB of inline constants
+    #    (closure constants are inlined into the serialized module) and
+    #    blow the remote-compile service's HTTP 413 limit;
+    #  - converting to jnp inside run() (per trace) also avoids the
+    #    lru-cache escaped-tracer hazard when this builder first fires
+    #    inside an outer jit trace (she_batched's fused step).
+    # XLA re-materializes the broadcast per call: ~64MB of HBM writes per
+    # plan per step, <3% of the step's NTT time at n=2^14, B=512.
+    wA_np = np.ascontiguousarray(src[:P])
+    wAs_np = np.ascontiguousarray(src_sh[:P])
     TB = _block_twiddles(plan, inverse)
-    TBs = np.array(
+    TBs_np = np.array(
         [[zq.shoup(int(w), q) for w in row] for row in TB], dtype=np.uint32
     )
-    wB = jnp.asarray(np.broadcast_to(TB[:, :, None], (nblk, tS, lanes)).copy())
-    wBs = jnp.asarray(np.broadcast_to(TBs[:, :, None], (nblk, tS, lanes)).copy())
+    TB_np = np.ascontiguousarray(TB)
 
     scale_in_block = S == 0  # no cross call: fuse 1/n into the block call
 
-    def cross_call(x3):  # (P, tS, B)
+    def cross_call(x3, wA, wAs):  # (P, tS, B)
         B = x3.shape[-1]
         kern = partial(
             _kernel_cross, q=q, P=P, inverse=inverse,
@@ -362,7 +373,7 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
             ),
         )(x3, wA, wAs)
 
-    def block_call(x3):  # (nblk, tS, B)
+    def block_call(x3, wB, wBs):  # (nblk, tS, B)
         B = x3.shape[-1]
         kern = partial(
             _kernel_block, q=q, tS=tS, inverse=inverse,
@@ -394,14 +405,22 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
     @jax.jit
     def run(x):  # (n, B)
         B = x.shape[1]
+        wA = jnp.broadcast_to(jnp.asarray(wA_np)[:, None], (P, lanes))
+        wAs = jnp.broadcast_to(jnp.asarray(wAs_np)[:, None], (P, lanes))
+        wB = jnp.broadcast_to(
+            jnp.asarray(TB_np)[:, :, None], (nblk, tS, lanes)
+        )
+        wBs = jnp.broadcast_to(
+            jnp.asarray(TBs_np)[:, :, None], (nblk, tS, lanes)
+        )
         if not inverse:
             if S > 0:
-                x = cross_call(x.reshape(P, tS, B))
-            x = block_call(x.reshape(nblk, tS, B))
+                x = cross_call(x.reshape(P, tS, B), wA, wAs)
+            x = block_call(x.reshape(nblk, tS, B), wB, wBs)
         else:
-            x = block_call(x.reshape(nblk, tS, B))
+            x = block_call(x.reshape(nblk, tS, B), wB, wBs)
             if S > 0:
-                x = cross_call(x.reshape(P, tS, B))
+                x = cross_call(x.reshape(P, tS, B), wA, wAs)
         return x.reshape(n, B)
 
     return run

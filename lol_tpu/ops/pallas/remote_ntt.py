@@ -11,10 +11,22 @@ within-class index c = d of every class rho, so the dataflow is
 
   a2a#1 (class-shard) -> phase A local -> a2a#2 (block-shard) -> phase B
 
-— two all-to-alls, the classic distributed-FFT exchange pattern.  Here
-they are hand-rolled Pallas collectives using `make_async_remote_copy`
-over ICI (SNIPPETS.md pattern) so they can later overlap with butterfly
-compute; parallel/sharding.py has the equivalent XLA-collective version.
+— two all-to-alls, the classic distributed-FFT exchange pattern; the
+inverse transform runs the mirror (phase B' -> a2a -> phase A' -> a2a ->
+1/n scale; the chunk-transpose a2a is an involution).  The exchanges are
+hand-rolled Pallas collectives using `make_async_remote_copy` over ICI
+(SNIPPETS.md pattern) so they can later overlap with butterfly compute;
+parallel/sharding.py has the equivalent XLA-collective version.
+
+Traffic: the all-to-all sends each (C, batch...) chunk DIRECTLY to its
+addressee (ICI routes a remote DMA through the torus), so each device
+transmits (D-1)/D of its local buffer once — 4*(D-1)*C*prod(batch) bytes
+per device per exchange, the information-theoretic minimum.  (The round-1
+version rotated the whole buffer D-1 times: D x more bytes.)
+
+Collective ids: every pallas collective in one jitted program needs a
+program-unique id consistent across devices; they are allocated from the
+_COLLECTIVE_IDS registry below (insertion order), not magic constants.
 
 Contract: D^2 | n; input (..., n) sharded contiguously over the last
 axis; output identically sharded; bit-exact vs all other paths.
@@ -35,72 +47,82 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ... import zq
 from ..ntt import NTTPlan
-from .ntt_kernel import _block_twiddles, _ntt_net_fwd
+from .ntt_kernel import _block_twiddles, _ntt_net_fwd, _ntt_net_inv
+
+# Program-unique collective ids, one per a2a call site (both directions
+# reuse the same two sites: the exchanges are sequenced by data flow).
+_COLLECTIVE_IDS = {name: i for i, name in enumerate(["a2a_class", "a2a_block"])}
 
 
-def _shift_kernel(x_ref, o_ref, send_sem, recv_sem, *, D: int, axis: str):
-    """Send the whole local buffer to the right neighbor (d+1 mod D) —
-    the proven ppermute pattern (SNIPPETS.md [1])."""
+def _a2a_kernel(x_ref, o_ref, send_sems, recv_sems, local_sem, *, D: int,
+                axis: str):
+    """Chunked all-to-all: my chunk r goes straight into peer r's slot d
+    (out[e] on device d = x_e[d]).  One remote DMA per peer, distinct
+    semaphore pair per hop-offset so the uniform schedule pairs each send
+    with the matching receive from the opposite offset."""
     d = jax.lax.axis_index(axis)
-    right = jax.lax.rem(d + 1, D)
-    rdma = pltpu.make_async_remote_copy(
-        src_ref=x_ref,
-        dst_ref=o_ref,
-        send_sem=send_sem,
-        recv_sem=recv_sem,
-        device_id=right,
-        device_id_type=pltpu.DeviceIdType.LOGICAL,
+    # own chunk: local DMA x[d] -> out[d]
+    own = pltpu.make_async_copy(
+        x_ref.at[pl.ds(d, 1)], o_ref.at[pl.ds(d, 1)], local_sem
     )
-    rdma.start()
-    rdma.wait()
+    own.start()
+    rdmas = []
+    for k in range(1, D):
+        r = jax.lax.rem(d + k, D)
+        rdma = pltpu.make_async_remote_copy(
+            src_ref=x_ref.at[pl.ds(r, 1)],   # my chunk addressed to r
+            dst_ref=o_ref.at[pl.ds(d, 1)],   # lands in r's slot <my id>
+            send_sem=send_sems.at[k - 1],
+            recv_sem=recv_sems.at[k - 1],
+            device_id=r,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        rdma.start()
+        rdmas.append(rdma)
+    own.wait()
+    for rdma in rdmas:
+        rdma.wait()
 
 
-def _ring_shift(v, D: int, axis: str, interpret: bool, cid: int):
-    """Every device receives its LEFT neighbor's buffer (left-rotation of
-    device contents: after the call, device d holds old device d-1...
-    equivalently repeated application brings device d+s's data to d)."""
+def _all_to_all(v, D: int, axis: str, interpret: bool, site: str):
+    """(D, C, batch...) per-device -> (D, C, batch...): chunk transpose
+    out[e] = peer e's chunk addressed to us.  Involution."""
     return pl.pallas_call(
-        partial(_shift_kernel, D=D, axis=axis),
+        partial(_a2a_kernel, D=D, axis=axis),
         out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((max(D - 1, 1),)),
+            pltpu.SemaphoreType.DMA((max(D - 1, 1),)),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=cid
+            has_side_effects=True, collective_id=_COLLECTIVE_IDS[site]
         ),
         interpret=interpret,
     )(v)
 
 
-def _all_to_all(x_local, D: int, axis: str, interpret: bool, cid: int):
-    """(D, ...) per-device -> (D, ...): out slot e = peer e's chunk x_e[d].
-
-    Ring algorithm: D-1 whole-buffer rotations; after s rotations device
-    d holds device (d-s)'s buffer, from which it extracts the chunk that
-    peer addressed to us (slot d... adjusted per step).  O(D) rounds of
-    neighbor-only traffic — the ring-topology-optimal schedule shape."""
-    d = jax.lax.axis_index(axis)
-    out = jnp.zeros_like(x_local)
-    out = jax.lax.dynamic_update_index_in_dim(
-        out, jax.lax.dynamic_index_in_dim(x_local, d, 0, keepdims=False), d, 0
+def _plan_tables(plan: NTTPlan, D: int, inverse: bool):
+    n, q = plan.n, plan.q
+    tS = n // D
+    S = D.bit_length() - 1
+    src, src_sh = (
+        (plan.ipsi_rev, plan.ipsi_rev_sh) if inverse
+        else (plan.psi_rev, plan.psi_rev_sh)
     )
-    cur = x_local
-    for s in range(1, D):
-        cur = _ring_shift(cur, D, axis, interpret, cid + s)
-        # after s shifts: cur = buffer of device (d - s) mod D
-        src_dev = jax.lax.rem(d - s + D, D)
-        chunk = jax.lax.dynamic_index_in_dim(cur, d, 0, keepdims=False)
-        out = jax.lax.dynamic_update_index_in_dim(out, chunk, src_dev, 0)
-    return out
+    wA = jnp.asarray(src[: max(D, 1)])
+    wAs = jnp.asarray(src_sh[: max(D, 1)])
+    TB = _block_twiddles(plan, inverse, S=S, tS=tS)
+    TBs = np.array(
+        [[zq.shoup(int(w), q) for w in row] for row in TB], dtype=np.uint32
+    )
+    return wA, wAs, jnp.asarray(TB), jnp.asarray(TBs)
 
 
-def ntt_ring_sharded_pallas(mesh, x, plan: NTTPlan, axis: str = "ring",
-                            interpret: bool = False):
-    """Forward negacyclic NTT of (..., n), last axis contiguously sharded
-    over mesh axis `axis`, with Pallas-collective phase exchanges."""
+def _ring_sharded(mesh, x, plan: NTTPlan, axis: str, interpret: bool,
+                  inverse: bool):
     from jax.sharding import PartitionSpec
 
     n, q = plan.n, plan.q
@@ -108,56 +130,73 @@ def ntt_ring_sharded_pallas(mesh, x, plan: NTTPlan, axis: str = "ring",
     if n % D or D & (D - 1):
         raise ValueError("ring sharding needs a power-of-2 divisor of n")
     tS = n // D
-    S = D.bit_length() - 1
     C = tS // D
     if tS % D:
         raise ValueError("need D^2 | n for the (D, C) chunking")
 
-    wA = jnp.asarray(plan.psi_rev[:max(D, 1)])
-    wAs = jnp.asarray(plan.psi_rev_sh[:max(D, 1)])
-    TB = _block_twiddles(plan, False, S=S, tS=tS)
-    TBs = np.array(
-        [[zq.shoup(int(w), q) for w in row] for row in TB], dtype=np.uint32
-    )
-    TBj, TBsj = jnp.asarray(TB), jnp.asarray(TBs)
+    wA, wAs, TBj, TBsj = _plan_tables(plan, D, inverse)
+
+    def read_wa(lo, m):
+        return wA[lo : lo + m, None], wAs[lo : lo + m, None]
 
     def shard_fn(x_local):
-        # x_local: (batch..., tS) = flat coords j = d*tS + rho (c = d)
         batch = x_local.shape[:-1]
         d = jax.lax.axis_index(axis)
-
-        # a2a #1: class-shard.  reshape (D, C): chunk i = class slab i;
-        # after the exchange slot e = (c=e, our slab).
-        v = jnp.moveaxis(
-            x_local.reshape(*batch, D, C), (-2, -1), (0, 1)
-        )  # (D, C, batch...)
-        v = _all_to_all(v, D, axis, interpret, cid=8)
-
-        # phase A: DIT stages along the c axis (axis 0)
-        def read_w(lo, m):
-            return wA[lo : lo + m, None], wAs[lo : lo + m, None]
-
-        shp = v.shape
-        v = _ntt_net_fwd(v.reshape(D, -1), q, D, read_w).reshape(shp)
-
-        # a2a #2: block-shard.  chunk e = (c=e, our slab) -> device e;
-        # after: slot e' = (c=d, slab e') -> concat = block d.
-        v = _all_to_all(v, D, axis, interpret, cid=40)
-        xb = jnp.moveaxis(v, (0, 1), (-2, -1)).reshape(*batch, tS)
-
-        # phase B: local size-tS network with block d's twiddle table
         tab = jnp.take(TBj, d, axis=0)
         tab_sh = jnp.take(TBsj, d, axis=0)
 
         def read_wb(lo, m):
             return tab[lo : lo + m, None], tab_sh[lo : lo + m, None]
 
-        flat = jnp.moveaxis(xb, -1, 0).reshape(tS, -1)
-        out = _ntt_net_fwd(flat, q, tS, read_wb)
-        return jnp.moveaxis(out.reshape((tS,) + batch), 0, -1)
+        if not inverse:
+            # a2a #1: class-shard.  reshape (D, C): chunk i = class slab i;
+            # after the exchange slot e = (c=e, our slab).
+            v = jnp.moveaxis(
+                x_local.reshape(*batch, D, C), (-2, -1), (0, 1)
+            )  # (D, C, batch...)
+            v = _all_to_all(v, D, axis, interpret, "a2a_class")
+            # phase A: DIT stages along the c axis (axis 0)
+            shp = v.shape
+            v = _ntt_net_fwd(v.reshape(D, -1), q, D, read_wa).reshape(shp)
+            # a2a #2: block-shard.  chunk e = (c=e, our slab) -> device e;
+            # after: slot e' = (c=d, slab e') -> concat = block d.
+            v = _all_to_all(v, D, axis, interpret, "a2a_block")
+            xb = jnp.moveaxis(v, (0, 1), (-2, -1)).reshape(*batch, tS)
+            # phase B: local size-tS network with block d's twiddle table
+            flat = jnp.moveaxis(xb, -1, 0).reshape(tS, -1)
+            y = _ntt_net_fwd(flat, q, tS, read_wb)
+            return jnp.moveaxis(y.reshape((tS,) + batch), 0, -1)
+
+        # inverse: mirror of the forward (GS stages high -> low), then 1/n
+        flat = jnp.moveaxis(x_local, -1, 0).reshape(tS, -1)
+        y = _ntt_net_inv(flat, q, tS, read_wb)
+        xb = jnp.moveaxis(y.reshape((tS,) + batch), 0, -1)
+        v = jnp.moveaxis(xb.reshape(*batch, D, C), (-2, -1), (0, 1))
+        v = _all_to_all(v, D, axis, interpret, "a2a_block")
+        shp = v.shape
+        v = _ntt_net_inv(v.reshape(D, -1), q, D, read_wa).reshape(shp)
+        v = zq.mul_mod_shoup(
+            v, jnp.uint32(plan.n_inv), jnp.uint32(plan.n_inv_sh), q
+        )
+        v = _all_to_all(v, D, axis, interpret, "a2a_class")
+        return jnp.moveaxis(v, (0, 1), (-2, -1)).reshape(*batch, tS)
 
     spec = PartitionSpec(*([None] * (x.ndim - 1)), axis)
     fn = jax.shard_map(
         shard_fn, mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False
     )
     return fn(x)
+
+
+def ntt_ring_sharded_pallas(mesh, x, plan: NTTPlan, axis: str = "ring",
+                            interpret: bool = False):
+    """Forward negacyclic NTT of (..., n), last axis contiguously sharded
+    over mesh axis `axis`, with Pallas-collective phase exchanges."""
+    return _ring_sharded(mesh, x, plan, axis, interpret, inverse=False)
+
+
+def intt_ring_sharded_pallas(mesh, x, plan: NTTPlan, axis: str = "ring",
+                             interpret: bool = False):
+    """Inverse transform (includes the 1/n scale): the exact mirror of the
+    forward dataflow; round-trips bit-exactly with it (VERDICT r1 #9)."""
+    return _ring_sharded(mesh, x, plan, axis, interpret, inverse=True)

@@ -124,6 +124,14 @@ def ntt_ring_sharded(mesh: Mesh, x, plan: ntt.NTTPlan, axis: str = "ring"):
             xa = jnp.stack(
                 [zq.add_mod(u, v, q), zq.sub_mod(u, v, q)], axis=-3
             ).reshape(*batch, D, tS)
+            # re-pin the class-sharded layout each stage: without this the
+            # phase-B (row-sharded) constraint propagates backward through
+            # the stack/reshape and the SPMD partitioner falls into an
+            # "involuntary full rematerialization" (VERDICT r1 #3); with it
+            # the only resharding is the single phase-boundary all-to-all.
+            xa = jax.lax.with_sharding_constraint(
+                xa, NamedSharding(mesh, P(*([None] * len(batch)), None, axis))
+            )
         # phase B: reshard so each device owns contiguous blocks (rows)
         xb = jax.lax.with_sharding_constraint(
             xa, NamedSharding(mesh, P(*([None] * len(batch)), axis, None))

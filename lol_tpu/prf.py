@@ -204,9 +204,19 @@ class EvalHints:
 def make_eval_hints(fam: PRFFamily, sks: list[she.SK], rings: list[int],
                     e_rings: list[int], spec: gd.GadgetSpec, key,
                     p_final: int = 2,
-                    homomorphic_round: bool = False) -> tuple[EvalHints, she.SK]:
+                    homomorphic_round: bool = False,
+                    maps: str = "auto") -> tuple[EvalHints, she.SK]:
     """Build the tunnel chain down `rings` (sks[i] lives in rings[i]);
     e_rings[i] is the common subring of rings[i] and rings[i+1].
+
+    maps selects the tower-descent E-linear maps (VERDICT r1 #6):
+      "slots":   CRT-set-derived slot projections (linear.slot_projection
+                 mode="select" — plaintext slots survive descent per
+                 crtset.slot_restriction); requires e_rings[i] ==
+                 rings[i+1] and the plaintext modulus a prime power
+                 coprime to the ring indices.
+      "project": the simple coefficient projection (b_0 -> 1, rest -> 0).
+      "auto":    "slots" where constructible, else "project" per hop.
 
     With homomorphic_round=True (requires the PRF/plaintext modulus to be
     2^k and p_final=2), also builds the PTRound relinearization hints for
@@ -214,19 +224,25 @@ def make_eval_hints(fam: PRFFamily, sks: list[she.SK], rings: list[int],
     from .ring import ring_context
 
     qs = sks[0].params.qs  # ciphertext modulus chain, not the PRF modulus
+    p = sks[0].params.p
     tunnels = []
     for i in range(len(rings) - 1):
-        key, sub, kl = jax.random.split(key, 3)
+        key, sub = jax.random.split(key)
         r_ctx = ring_context(rings[i], qs)
         s_ctx = ring_context(rings[i + 1], qs)
         e_ctx = ring_context(e_rings[i], qs)
-        d = r_ctx.n // e_ctx.n
-        # the tower-descent map: twace-like linear map (image of b_0 = 1,
-        # other basis elts -> 0) composed with identity; any E-linear map
-        # works for hint plumbing — use the canonical projection
-        ys = [Cyc.zero(s_ctx) for _ in range(d)]
-        ys[0] = Cyc.scalar(s_ctx, 1)
-        f = lin.linear_pow(e_ctx, r_ctx, s_ctx, ys)
+        f = None
+        if maps in ("slots", "auto") and e_rings[i] == rings[i + 1]:
+            try:
+                f = lin.slot_projection(r_ctx, s_ctx, p, mode="select")
+            except (ValueError, ZeroDivisionError):
+                if maps == "slots":
+                    raise
+        if f is None:
+            d = r_ctx.n // e_ctx.n
+            ys = [Cyc.zero(s_ctx) for _ in range(d)]
+            ys[0] = Cyc.scalar(s_ctx, 1)
+            f = lin.linear_pow(e_ctx, r_ctx, s_ctx, ys)
         tunnels.append(she.tunnel_hint(f, sks[i + 1], sks[i], spec, sub))
     rounds = None
     if homomorphic_round:
@@ -237,23 +253,19 @@ def make_eval_hints(fam: PRFFamily, sks: list[she.SK], rings: list[int],
     return EvalHints(tuple(tunnels), p_final, rounds), sks[-1]
 
 
-def homom_prf(fam: PRFFamily, hints: EvalHints, ct_s: she.CT, bits) -> she.CT:
-    """Homomorphically evaluate the PRF's linear phase on an encrypted key
-    and walk the result down the tunnel chain; finish with the TRUE
-    homomorphic rounding chain (she.pt_round) when hints.rounds is
-    present (PRF modulus 2^k; the tunnel chain has projected the value
-    to a scalar), else with the plaintext modulus switch.
-
-    ct_s encrypts the PRF key s with plaintext modulus p = PRF modulus.
-    Output: encryption of round(tower-descended component 0 of
-    s * A_T(x))."""
+def homom_prf_component(fam: PRFFamily, hints: EvalHints, ct_s: she.CT,
+                        bits, i: int) -> she.CT:
+    """Homomorphically evaluate component i of s * A_T(x) and walk it
+    down the tunnel chain; finish with the TRUE homomorphic rounding
+    chain (she.pt_round) when hints.rounds is present (PRF modulus 2^k;
+    the tunnel chain has projected the value to a scalar), else with the
+    plaintext modulus switch."""
     at = fam.a_t(bits)
-    # public multiply by A_T(x)[0] reduced into the plaintext ring
-    a0_pt = np.array(
-        [int(v) % ct_s.params.p for v in at[0].lift_ints(rep=Rep.POW)],
+    a_pt = np.array(
+        [int(v) % ct_s.params.p for v in at[i].lift_ints(rep=Rep.DEC)],
         dtype=np.int64,
     )
-    ct = she.mul_public(ct_s, a0_pt)
+    ct = she.mul_public(ct_s, a_pt)
     for th in hints.tunnels:
         ct = she.tunnel(th, ct)
     if hints.rounds is not None:
@@ -261,3 +273,17 @@ def homom_prf(fam: PRFFamily, hints: EvalHints, ct_s: she.CT, bits) -> she.CT:
     if hints.p_final != ct.params.p:
         ct = she.mod_switch_pt(ct, hints.p_final)
     return ct
+
+
+def homom_prf(fam: PRFFamily, hints: EvalHints, ct_s: she.CT,
+              bits) -> tuple[she.CT, ...]:
+    """Homomorphically evaluate the FULL ell-vector s * A_T(x) (every
+    gadget-dimension component, VERDICT r1 #6), each walked down the
+    tunnel chain and rounded.
+
+    ct_s encrypts the PRF key s with plaintext modulus p = PRF modulus.
+    Returns one ciphertext per component, in the chain's final ring."""
+    ell = len(fam.a_t(bits))
+    return tuple(
+        homom_prf_component(fam, hints, ct_s, bits, i) for i in range(ell)
+    )

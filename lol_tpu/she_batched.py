@@ -13,6 +13,21 @@ constants, and one `step()` performs
 entirely on device.  Bit-exact vs the she.py path (same arithmetic, same
 decomposition and rescale formulas) — tested column-by-column.
 
+Also fully device-resident here (reference call stacks SURVEY.md §4):
+  - `build_decrypt`:  c(s) eval + Garner mixed-radix centered lift mod p
+    (§4.3 decrypt — the reference's C++-speed liftDec),
+  - `build_tunnel`:   the batched ring-tunneling step (§4.5) — relative
+    coefficient gather (static index table), RNS-gadget digits over the
+    common subring E, embed-scatter into S, hint inner products,
+  - `build_galois`:   CRT slot permutation + key switch (hom. automorphism).
+
+Sharding: pass `mesh` (axes 'rns' and 'data') to build_step/build_tunnel
+to make the digit re-expansion's cross-channel movement an explicit
+replicate over 'rns' — one all-gather of the (nrns, n, B) u32 component,
+(nrns-1)/nrns * 4*nrns*n*B bytes received per device — instead of the
+SPMD partitioner's involuntary full rematerialization of the stacked
+(nrns, nrns, n, B) digit tensor (VERDICT r1 #3).
+
 This is the benchmark pipeline for BASELINE's "BGV ct-mult + key-switch
 ops/sec" metric and the multi-chip sharding target (batch axis = 'data',
 residue axis = 'rns').
@@ -21,17 +36,79 @@ residue axis = 'rns').
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from . import numtheory as nt
 from . import she, zq
 from .gadget import RnsGad
+from .ops import general as gen
 from .ops.pallas import ntt_kernel as pk
 from .ring import ring_context
+
+
+# ---------------------------------------------------------------------------
+# channel-wise helpers over (nrns, n, B) stacks (static per-prime moduli)
+# ---------------------------------------------------------------------------
+
+
+def _mulmod_ch(qs, a, b):
+    return jnp.stack([zq.mul_mod(a[i], b[i], q) for i, q in enumerate(qs)])
+
+
+def _addmod_ch(qs, a, b):
+    return jnp.stack([zq.add_mod(a[i], b[i], q) for i, q in enumerate(qs)])
+
+
+def _submod_ch(qs, a, b):
+    return jnp.stack([zq.sub_mod(a[i], b[i], q) for i, q in enumerate(qs)])
+
+
+def decompose_cm(qs, x):
+    """RNS-gadget digits of (nrns, n, B) coeff-domain values: digit i =
+    centered [x]_{q_i} re-expanded into every channel, shape
+    (ell=nrns, nrns, n, B) (gadget.decompose_rns_jnp in this layout)."""
+    digs = []
+    for i, qi in enumerate(qs):
+        xi = x[i]
+        is_high = xi >= jnp.uint32((qi + 1) // 2)
+        chans = []
+        for j, qj in enumerate(qs):
+            if i == j:
+                chans.append(xi)
+                continue
+            r = zq.reduce_mod(xi, qj) if qi > qj else xi
+            r = jnp.where(is_high, zq.sub_mod(r, jnp.uint32(qi % qj), qj), r)
+            chans.append(r)
+        digs.append(jnp.stack(chans))
+    return jnp.stack(digs)
+
+
+def bgv_rescale_cm(qs, p, x):
+    """(nrns, n, B) coeff-domain -> (nrns-1, n, B): exact BGV drop-last
+    rescale with the p-multiple correction (LSD invariant preserved)."""
+    ql = qs[-1]
+    pinv_l = nt.modinv(p % ql, ql)
+    last = x[-1]
+    v = zq.mul_mod(last, jnp.uint32(pinv_l), ql)
+    is_high = v >= jnp.uint32((ql + 1) // 2)
+    outs = []
+    for i, qi in enumerate(qs[:-1]):
+        inv = nt.modinv(ql % qi, qi)
+        vi = zq.reduce_mod(v, qi)
+        vi = jnp.where(is_high, zq.sub_mod(vi, jnp.uint32(ql % qi), qi), vi)
+        delta = zq.mul_mod(vi, jnp.uint32(p % qi), qi)
+        d = zq.sub_mod(x[i], delta, qi)
+        outs.append(zq.mul_mod(d, jnp.uint32(inv), qi))
+    return jnp.stack(outs)
+
+
+def _crt_const(cyc_val, qs) -> jnp.ndarray:
+    """A Cyc baked as an (nrns, n, 1) CRT-domain jit constant."""
+    return jnp.asarray(np.asarray(cyc_val.to_crt().data))[..., None]
 
 
 @dataclass(frozen=True)
@@ -70,7 +147,7 @@ class BatchedBGV:
             comps.append(jnp.asarray(np.stack(cols, axis=-1)))
         return tuple(comps)
 
-    def unpack(self, arrs, f: int = 1) -> list[she.CT]:
+    def unpack(self, arrs, f: int = 1, encoding: str = "lsd") -> list[she.CT]:
         """(nrns, n, B) component arrays -> list of cts (CRT rep)."""
         from .cyc import Cyc, Rep
 
@@ -80,7 +157,7 @@ class BatchedBGV:
             cs = tuple(
                 Cyc(self.ctx, Rep.CRT, a[..., b]) for a in arrs
             )
-            out.append(she.CT(self.params, self.ctx, cs, f=f))
+            out.append(she.CT(self.params, self.ctx, cs, f=f, encoding=encoding))
         return out
 
     # --- per-channel transforms --------------------------------------------
@@ -116,21 +193,7 @@ class BatchedBGV:
         p = self.params.p
         n = self.ctx.n
         var = self.params.var
-        s_crt = jnp.asarray(
-            np.asarray(
-                she.Cyc.from_ints(self.ctx, sk.s_ints).to_crt().data
-            )
-        )[..., None]  # (nrns, n, 1)
-
-        def mulmod_ch(a, b):
-            return jnp.stack(
-                [zq.mul_mod(a[i], b[i], q) for i, q in enumerate(qs)]
-            )
-
-        def submod_ch(a, b):
-            return jnp.stack(
-                [zq.sub_mod(a[i], b[i], q) for i, q in enumerate(qs)]
-            )
+        s_crt = _crt_const(she.Cyc.from_ints(self.ctx, sk.s_ints), qs)
 
         @jax.jit
         def enc(msgs, key):
@@ -151,15 +214,46 @@ class BatchedBGV:
                     for i, q in enumerate(qs)
                 ]
             )
-            c0 = submod_ch(me_crt, mulmod_ch(c1, jnp.broadcast_to(s_crt, c1.shape)))
+            c0 = _submod_ch(qs, me_crt, _mulmod_ch(qs, c1, jnp.broadcast_to(s_crt, c1.shape)))
             return c0, c1
 
         return enc
 
-    # --- the fused step ----------------------------------------------------
-    def build_step(self, hint: she.KSHint):
+    # --- batched decryption (device-side liftDec; SURVEY §4.3) -------------
+    def build_decrypt(self, sk: she.SK, f: int = 1):
+        """jit-compiled (c0, c1) -> (n, B) int32 messages mod p.
+
+        c(s) = c0 + c1 s as a CRT Hadamard, one inverse NTT, then the
+        Garner mixed-radix centered lift reduced mod p ON DEVICE
+        (rns.RnsBasis.lift_mod_jnp) — replacing the per-coefficient
+        Python object-int CRT of the object path (VERDICT r1 #4).
+        LSD only (f is the tracked scale; MSD decrypt needs the big-int
+        rounding and stays on the host path)."""
+        qs = self.qs
+        p = self.params.p
+        basis = self.ctx.basis
+        s_crt = _crt_const(she.Cyc.from_ints(self.ctx, sk.s_ints), qs)
+        finv = nt.modinv(f % p, p)
+
+        @jax.jit
+        def dec(c0, c1):
+            cs = _addmod_ch(
+                qs, c0, _mulmod_ch(qs, c1, jnp.broadcast_to(s_crt, c1.shape))
+            )
+            coeff = self._ntt(cs, inverse=True)  # (nrns, n, B) POW/DEC
+            # lift_mod_jnp wants rns at axis -2: (n, nrns, B) view
+            lifted = basis.lift_mod_jnp(jnp.moveaxis(coeff, 0, 1), p)
+            return zq.mul_mod(lifted, jnp.uint32(finv), p).astype(jnp.int32)
+
+        return dec
+
+    # --- the fused mul+keyswitch+rescale step -------------------------------
+    def build_step(self, hint: she.KSHint, mesh=None):
         """jit-compiled (c0,c1,d0,d1) -> (e0,e1) over the dropped-prime
-        chain: ct_mul + keySwitchQuadCirc + modSwitch."""
+        chain: ct_mul + keySwitchQuadCirc + modSwitch.
+
+        mesh: optional Mesh with 'rns'/'data' axes — makes the digit
+        broadcast an explicit all-gather over 'rns' (module docstring)."""
         if not isinstance(hint.spec, RnsGad):
             raise ValueError("batched pipeline uses the RNS gadget")
         qs = self.qs
@@ -172,80 +266,46 @@ class BatchedBGV:
         h1 = jnp.asarray(
             np.stack([np.asarray(h.to_crt().data) for h in hint.h1])
         )[..., None]
-        plans = self.plans()
+        plans2 = ring_context(self.params.m, qs[:-1]).ntt_plans()
 
-        def mulmod_ch(a, b):
-            return jnp.stack(
-                [zq.mul_mod(a[i], b[i], q) for i, q in enumerate(qs)]
+        def _gathered(x):
+            """Replicate a (nrns, n, B) stack over the 'rns' mesh axis so
+            the per-digit channel re-expansion is local everywhere."""
+            if mesh is None:
+                return x
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(None, None, "data"))
             )
 
-        def addmod_ch(a, b):
-            return jnp.stack(
-                [zq.add_mod(a[i], b[i], q) for i, q in enumerate(qs)]
+        def _channel_sharded(x):
+            if mesh is None:
+                return x
+            spec = (None,) * (x.ndim - 3) + ("rns", None, "data")
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(*spec))
             )
-
-        def decompose_cm(x):
-            """RNS-gadget digits of (nrns, n, B) coeff-domain values:
-            digit i = centered [x]_{q_i} in every channel: (nrns, nrns, n, B)."""
-            digs = []
-            for i, qi in enumerate(qs):
-                xi = x[i]
-                is_high = xi >= jnp.uint32((qi + 1) // 2)
-                chans = []
-                for j, qj in enumerate(qs):
-                    if i == j:
-                        chans.append(xi)
-                        continue
-                    r = zq.reduce_mod(xi, qj) if qi > qj else xi
-                    r = jnp.where(
-                        is_high, zq.sub_mod(r, jnp.uint32(qi % qj), qj), r
-                    )
-                    chans.append(r)
-                digs.append(jnp.stack(chans))
-            return jnp.stack(digs)
-
-        def bgv_rescale_cm(x):
-            """(nrns, n, B) coeff-domain -> (nrns-1, n, B): exact BGV
-            drop-last rescale with the p-multiple correction."""
-            ql = qs[-1]
-            pinv_l = nt.modinv(p % ql, ql)
-            last = x[-1]
-            v = zq.mul_mod(last, jnp.uint32(pinv_l), ql)
-            is_high = v >= jnp.uint32((ql + 1) // 2)
-            outs = []
-            for i, qi in enumerate(qs[:-1]):
-                inv = nt.modinv(ql % qi, qi)
-                vi = zq.reduce_mod(v, qi)
-                vi = jnp.where(
-                    is_high, zq.sub_mod(vi, jnp.uint32(ql % qi), qi), vi
-                )
-                delta = zq.mul_mod(vi, jnp.uint32(p % qi), qi)
-                d = zq.sub_mod(x[i], delta, qi)
-                outs.append(zq.mul_mod(d, jnp.uint32(inv), qi))
-            return jnp.stack(outs)
 
         @jax.jit
         def step(c0, c1, d0, d1):
             # ct_mul: (c0 + c1 s)(d0 + d1 s): e0 = c0 d0, e1 = c0 d1 + c1 d0,
             # e2 = c1 d1 — all CRT Hadamards
-            e0 = mulmod_ch(c0, d0)
-            e1 = addmod_ch(mulmod_ch(c0, d1), mulmod_ch(c1, d0))
-            e2 = mulmod_ch(c1, d1)
+            e0 = _mulmod_ch(qs, c0, d0)
+            e1 = _addmod_ch(qs, _mulmod_ch(qs, c0, d1), _mulmod_ch(qs, c1, d0))
+            e2 = _mulmod_ch(qs, c1, d1)
             # key switch e2: coefficient-domain digits, NTT back, inner prod
-            e2c = self._ntt(e2, inverse=True)
-            digits = decompose_cm(e2c)
+            e2c = _gathered(self._ntt(e2, inverse=True))
+            digits = _channel_sharded(decompose_cm(qs, e2c))
             for i in range(nrns):
                 di = self._ntt(digits[i])
-                e0 = addmod_ch(e0, mulmod_ch(di, h0[i]))
-                e1 = addmod_ch(e1, mulmod_ch(di, h1[i]))
+                e0 = _addmod_ch(qs, e0, _mulmod_ch(qs, di, h0[i]))
+                e1 = _addmod_ch(qs, e1, _mulmod_ch(qs, di, h1[i]))
             # rescale both components (coeff domain), NTT forward on the
             # shortened chain
             out = []
             for comp in (e0, e1):
-                cc = self._ntt(comp, inverse=True)
-                rc = bgv_rescale_cm(cc)
+                cc = _gathered(self._ntt(comp, inverse=True))
+                rc = bgv_rescale_cm(qs, p, cc)
                 out.append(rc)
-            plans2 = ring_context(self.params.m, qs[:-1]).ntt_plans()
             out = [
                 jnp.stack(
                     [
@@ -258,3 +318,133 @@ class BatchedBGV:
             return out[0], out[1]
 
         return step
+
+    # --- batched Galois automorphism (hom. slot rotation) -------------------
+    def build_galois(self, hint: she.KSHint, k: int):
+        """jit-compiled (c0, c1) -> (e0, e1): apply sigma_k to both
+        components (CRT slot permutation, a static gather) and key-switch
+        the permuted c1 back under s with the sigma_k(s) hint
+        (she.ks_galois_hint)."""
+        from . import zmstar
+
+        qs = self.qs
+        nrns = len(qs)
+        perm = jnp.asarray(
+            zmstar.automorphism_slot_perm(self.ctx.m, qs[0], k)
+        )
+        h0 = jnp.asarray(
+            np.stack([np.asarray(h.to_crt().data) for h in hint.h0])
+        )[..., None]
+        h1 = jnp.asarray(
+            np.stack([np.asarray(h.to_crt().data) for h in hint.h1])
+        )[..., None]
+
+        @jax.jit
+        def gal(c0, c1):
+            c0k = c0[:, perm, :]
+            c1k = c1[:, perm, :]
+            c1c = self._ntt(c1k, inverse=True)
+            digits = decompose_cm(qs, c1c)
+            e0, e1 = c0k, jnp.zeros_like(c1k)
+            for i in range(nrns):
+                di = self._ntt(digits[i])
+                e0 = _addmod_ch(qs, e0, _mulmod_ch(qs, di, h0[i]))
+                e1 = _addmod_ch(qs, e1, _mulmod_ch(qs, di, h1[i]))
+            return e0, e1
+
+        return gal
+
+    # --- batched ring tunneling (SURVEY §4.5; VERDICT r1 #2) ----------------
+    def build_tunnel(self, th: she.TunnelHint, mesh=None):
+        """jit-compiled (c0, c1) over R -> (e0, e1) over S: the fused
+        device tunnel.  All cross-ring index tables are static constants:
+
+          out0 = evalLin(c0)   = sum_i NTT_S(embed(gather_i(iNTT_R(c0)))) * ys_i
+          ct'  = out0, 0  +  sum_{i,j} NTT_S(embed(digit_j(a_i))) * hint_{i,j}
+
+        where a_i = gather_i(iNTT_R(c1)) is the relative coefficient
+        decomposition over the common subring E (gen.rel_coeff_table) and
+        digit_j is the RNS gadget over E (= over the same chain).  2-power
+        towers only (the Pallas NTT path); general-m tunnels use she.tunnel.
+        """
+        lin = th.lin
+        if not isinstance(th.spec, RnsGad):
+            raise ValueError("batched tunnel uses the RNS gadget")
+        r_ctx, s_ctx, e_ctx = lin.r_ctx, lin.s_ctx, lin.e_ctx
+        if r_ctx != self.ctx:
+            raise ValueError("tunnel: pipeline ring != map source ring")
+        qs = self.qs
+        nrns = len(qs)
+        d = r_ctx.n // e_ctx.n
+        n_s = s_ctx.n
+        plans_s = s_ctx.ntt_plans()
+        coeff_tbl = jnp.asarray(gen.rel_coeff_table(e_ctx.m, r_ctx.m))  # (d, n_e)
+        embed_tbl = jnp.asarray(gen.embed_pow_table(e_ctx.m, s_ctx.m))  # (n_e,)
+        ys = [_crt_const(y, qs) for y in lin.ys]  # images f(b_i), CRT over S
+        hints0 = [
+            jnp.asarray(np.stack([np.asarray(h.to_crt().data) for h in hh.h0]))[..., None]
+            for hh in th.hints
+        ]
+        hints1 = [
+            jnp.asarray(np.stack([np.asarray(h.to_crt().data) for h in hh.h1]))[..., None]
+            for hh in th.hints
+        ]
+
+        def _gathered(x):
+            if mesh is None:
+                return x
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(None, None, "data"))
+            )
+
+        def _ntt_s(x, inverse=False):
+            B = x.shape[-1]
+            if self._pallas_ok(B):
+                outs = [pk.ntt_cm(x[i], plans_s[i], inverse=inverse)
+                        for i in range(nrns)]
+            else:
+                from .ops import ntt as _ntt_mod
+
+                fn = (_ntt_mod.ntt_inverse_stages if inverse
+                      else _ntt_mod.ntt_forward_stages)
+                outs = [
+                    jnp.moveaxis(fn(jnp.moveaxis(x[i], 0, -1), plans_s[i]), -1, 0)
+                    for i in range(nrns)
+                ]
+            return jnp.stack(outs)
+
+        def _embed_s(a):
+            """(nrns, n_e, B) POW coefficients of E -> (nrns, n_s, B)."""
+            B = a.shape[-1]
+            out = jnp.zeros((nrns, n_s, B), dtype=a.dtype)
+            return out.at[:, embed_tbl, :].set(a)
+
+        @jax.jit
+        def tun(c0, c1):
+            B = c0.shape[-1]
+            c0p = _gathered(self._ntt(c0, inverse=True))
+            c1p = _gathered(self._ntt(c1, inverse=True))
+            e0 = jnp.zeros((nrns, n_s, B), dtype=jnp.uint32)
+            e1 = jnp.zeros((nrns, n_s, B), dtype=jnp.uint32)
+            for i in range(d):
+                a0 = c0p[:, coeff_tbl[i], :]  # (nrns, n_e, B)
+                e0 = _addmod_ch(
+                    qs, e0, _mulmod_ch(qs, _ntt_s(_embed_s(a0)), ys[i])
+                )
+                a1 = c1p[:, coeff_tbl[i], :]
+                digits = decompose_cm(qs, a1)  # (ell, nrns, n_e, B)
+                for j in range(nrns):
+                    dj = _ntt_s(_embed_s(digits[j]))
+                    e0 = _addmod_ch(qs, e0, _mulmod_ch(qs, dj, hints0[i][j]))
+                    e1 = _addmod_ch(qs, e1, _mulmod_ch(qs, dj, hints1[i][j]))
+            return e0, e1
+
+        return tun
+
+    def target_pipeline(self, th: she.TunnelHint) -> "BatchedBGV":
+        """The BatchedBGV over the tunnel's target ring S (for unpacking
+        / further steps)."""
+        new_params = type(self.params)(
+            m=th.lin.s_ctx.m, p=self.params.p, qs=self.qs, var=self.params.var
+        )
+        return BatchedBGV(new_params, use_pallas=self.use_pallas)

@@ -81,7 +81,8 @@ def test_homom_prf_matches_clear(rng):
     sk_r = she.gen_sk(pr, k1)
     sk_s = she.gen_sk(ps, k2)
     hints, sk_out = prf.make_eval_hints(
-        fam, [sk_r, sk_s], [32, 16], [16], gd.RnsGad(), kh, p_final=p
+        fam, [sk_r, sk_s], [32, 16], [16], gd.RnsGad(), kh, p_final=p,
+        maps="project",
     )
     # PRF key s as plaintext (dec-encoded)
     s_ints = rng.integers(0, p, 16)
@@ -90,7 +91,7 @@ def test_homom_prf_matches_clear(rng):
     m_s = np.resize(s_full, pr.ctx.n) % p
     ct_s = she.encrypt(sk_r, m_s, ke)
     bits = (1, 0, 1)
-    out_ct = prf.homom_prf(fam, hints, ct_s, bits)
+    out_ct = prf.homom_prf_component(fam, hints, ct_s, bits, 0)
     got = she.decrypt(sk_out, out_ct)
     # clear pipeline: same ops on the plaintext
     at0 = fam.a_t(bits)[0]
@@ -132,7 +133,8 @@ def test_homom_prf_with_homomorphic_rounding(rng):
     sk_s = she.gen_sk(ps, k2)
     hints, sk_out = prf.make_eval_hints(fam, [sk_r, sk_s], [32, 2], [2],
                                         gd.RnsGad(), kh, p_final=2,
-                                        homomorphic_round=True)
+                                        homomorphic_round=True,
+                                        maps="project")
     ctx8r = ring_context(32, (p,))
     ctx8s = ring_context(2, (p,))
     ys = [Cyc.zero(ctx8s) for _ in range(16)]
@@ -141,7 +143,7 @@ def test_homom_prf_with_homomorphic_rounding(rng):
     for trial, bits in enumerate([(1, 0, 1), (0, 1, 1), (1, 1, 0)]):
         m_s = rng.integers(0, p, pr.ctx.n).astype(np.int64)
         ct_s = she.encrypt(sk_r, m_s, jax.random.fold_in(ke, trial))
-        out_ct = prf.homom_prf(fam, hints, ct_s, bits)
+        out_ct = prf.homom_prf_component(fam, hints, ct_s, bits, 0)
         assert out_ct.params.p == 2 and out_ct.params.m == 2
         got = she.decrypt(sk_out, out_ct)
         # clear pipeline in R_8: mul by A_T(x)[0], project, round-half-up
@@ -154,3 +156,65 @@ def test_homom_prf_with_homomorphic_rounding(rng):
         want = ((v + 2) >> 2) & 1
         assert got[0] == want
 
+
+
+def test_homom_prf_full_vector_identity_chain(rng):
+    """Full ell-vector (VERDICT r1 #6): with an empty tower, every
+    component of the homomorphic PRF decrypts to the clear linear phase
+    s * A_T(x) — all ell components, exact."""
+    p = 257
+    qs = tuple(nt.ntt_primes(64, 30, 2))
+    fam = prf.PRFFamily.random(ring_context(32, (p,)), gd.BaseBGad(16),
+                               prf.balanced(2), jax.random.PRNGKey(7))
+    pr = she.SHEParams(m=32, p=p, qs=qs, var=2.0)
+    sk = she.gen_sk(pr, jax.random.PRNGKey(8))
+    hints = prf.EvalHints(tunnels=(), p_final=p)
+    s_ints = rng.integers(0, p, pr.ctx.n).astype(np.int64)
+    ct_s = she.encrypt(sk, s_ints, jax.random.PRNGKey(9))
+    bits = (1, 0)
+    outs = prf.homom_prf(fam, hints, ct_s, bits)
+    s_elt = Cyc.from_ints(ring_context(32, (p,)), s_ints, rep=Rep.DEC)
+    clear = prf.prf_pre_round(fam, s_elt, bits)
+    assert len(outs) == len(clear) == 3  # ell = 3 digits base 16 for Q=257
+    for ct_i, v_i in zip(outs, clear):
+        got = she.decrypt(sk, ct_i)
+        want = np.array([int(c) % p for c in v_i.lift_ints(rep=Rep.DEC)])
+        np.testing.assert_array_equal(got, want)
+
+
+def test_homom_prf_full_vector_slot_maps(rng):
+    """Full ell-vector through the CRT-set-derived slot-projection tower
+    (VERDICT r1 #6): every component decrypts to the slot map applied to
+    the clear linear phase."""
+    p = 257
+    qs = tuple(nt.ntt_primes(64, 30, 3))
+    fam = prf.PRFFamily.random(ring_context(32, (p,)), gd.BaseBGad(16),
+                               prf.balanced(2), jax.random.PRNGKey(10))
+    pr = she.SHEParams(m=32, p=p, qs=qs, var=2.0)
+    ps = she.SHEParams(m=16, p=p, qs=qs, var=2.0)
+    k1, k2, kh, ke = jax.random.split(jax.random.PRNGKey(11), 4)
+    sk_r = she.gen_sk(pr, k1)
+    sk_s = she.gen_sk(ps, k2)
+    hints, sk_out = prf.make_eval_hints(
+        fam, [sk_r, sk_s], [32, 16], [16], gd.RnsGad(), kh, p_final=p,
+        maps="slots",
+    )
+    s_ints = rng.integers(0, p, pr.ctx.n).astype(np.int64)
+    ct_s = she.encrypt(sk_r, s_ints, ke)
+    bits = (0, 1)
+    outs = prf.homom_prf(fam, hints, ct_s, bits)
+    # plaintext-level slot map: the hint's Linear with images reduced mod p
+    th = hints.tunnels[0]
+    Rp, Sp = ring_context(32, (p,)), ring_context(16, (p,))
+    fp = lin.Linear(Sp, Rp, Sp, tuple(
+        Cyc.from_ints(Sp, np.array([int(v) % p for v in y.lift_ints(rep=Rep.POW)]))
+        for y in th.lin.ys
+    ))
+    s_elt = Cyc.from_ints(Rp, s_ints, rep=Rep.DEC)
+    clear = prf.prf_pre_round(fam, s_elt, bits)
+    assert len(outs) == len(clear)
+    for ct_i, v_i in zip(outs, clear):
+        got = she.decrypt(sk_out, ct_i)
+        want_elt = lin.eval_lin(fp, v_i)
+        want = np.array([int(c) % p for c in want_elt.lift_ints(rep=Rep.DEC)])
+        np.testing.assert_array_equal(got, want)

@@ -131,3 +131,42 @@ def test_correct_base_b(rng):
     np.testing.assert_array_equal(
         np.array([int(e) for e in errs.reshape(ell)]), noise
     )
+
+
+def test_correct_rns_gadget(rng):
+    """RnsGad Correct (VERDICT r1 #10): recover x and the per-digit errors
+    from noisy CRT-gadget encodings."""
+    spec, basis = gd.RnsGad(), B3
+    Q = basis.modulus
+    x = 987654321987654321 % Q
+    enc = gd.encode_int(spec, basis, x)
+    ell = len(enc)
+    noise = [int(v) for v in rng.integers(-50, 51, ell)]
+    noisy = np.array([(g + e) % Q for g, e in zip(enc, noise)], dtype=object)
+    w = np.stack([basis.to_rns(np.array([v], dtype=object)) for v in noisy])
+    w = np.moveaxis(w, 1, -2)  # (ell, 1, nrns) -> wait: (ell, nrns, 1)? match base test
+    xh, errs = gd.correct_host(spec, basis, w)
+    assert int(np.ravel(xh)[0]) == x
+    np.testing.assert_array_equal(
+        np.array([int(e) for e in errs.reshape(ell)]), np.array(noise)
+    )
+
+
+def test_correct_rns_gadget_vector(rng):
+    """Vector form: a whole ring element's worth of coefficients."""
+    spec, basis = gd.RnsGad(), B3
+    Q = basis.modulus
+    n = 8
+    xs = np.array([int(v) for v in rng.integers(0, 2**60, n)], dtype=object) % Q
+    g = gd.gadget_ints(spec, basis)
+    ell = len(g)
+    noise = rng.integers(-100, 101, (ell, n))
+    noisy = np.stack([
+        basis.to_rns((xs * gj + noise[j]) % Q) for j, gj in enumerate(g)
+    ])  # (ell, nrns, n)
+    w = np.moveaxis(noisy, 1, -2)
+    xh, errs = gd.correct_host(spec, basis, w)
+    assert all(int(a) == int(b) for a, b in zip(np.ravel(xh), xs))
+    np.testing.assert_array_equal(
+        np.array([[int(v) for v in row] for row in errs.reshape(ell, n)]), noise
+    )

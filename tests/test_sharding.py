@@ -96,3 +96,82 @@ def test_remote_ntt_pallas_8dev(rng):
     )
     got = rn.ntt_ring_sharded_pallas(mesh, xj, plan, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), ntt.np_ntt_forward(x, plan))
+
+
+def test_sharded_bgv_step_32k(rng):
+    """Config 5's sharded demo: m=32768 batched step + fused tunnel with
+    (rns=2, data=4) sharding, mesh-aware digit all-gather (no involuntary
+    remat path), bit-exact vs the unsharded run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from lol_tpu import gadget as gd, linear as lin, she
+    from lol_tpu.cyc import Cyc
+    from lol_tpu.ring import ring_context
+    from lol_tpu.she_batched import BatchedBGV
+
+    m, nrns, B = 32768, 2, 8
+    qs = tuple(nt.ntt_primes(m, 30, nrns))
+    params = she.SHEParams(m=m, p=257, qs=qs, var=2.0)
+    sk = she.gen_sk(params, jax.random.PRNGKey(60))
+    hint = she.ks_quad_circ_hint(sk, gd.RnsGad(), jax.random.PRNGKey(61))
+    bb = BatchedBGV(params, use_pallas=False)
+    enc = bb.build_encrypt(sk)
+    n = params.ctx.n
+    m1 = rng.integers(0, params.p, (n, B)).astype(np.int32)
+    m2 = rng.integers(0, params.p, (n, B)).astype(np.int32)
+    c0, c1 = enc(jnp.asarray(m1), jax.random.PRNGKey(62))
+    d0, d1 = enc(jnp.asarray(m2), jax.random.PRNGKey(63))
+
+    mesh = sh.make_mesh({"rns": 2, "data": 4})
+    spec = NamedSharding(mesh, P("rns", None, "data"))
+    c0s, c1s, d0s, d1s = (jax.device_put(x, spec) for x in (c0, c1, d0, d1))
+    e0s, e1s = bb.build_step(hint, mesh=mesh)(c0s, c1s, d0s, d1s)
+    e0, e1 = bb.build_step(hint)(c0, c1, d0, d1)
+    np.testing.assert_array_equal(np.asarray(e0s), np.asarray(e0))
+    np.testing.assert_array_equal(np.asarray(e1s), np.asarray(e1))
+
+    # sharded fused tunnel m=32768 -> 16384 on the shortened chain:
+    # nrns-1 = 1 channel can't shard over rns=2, so reshard data-only
+    ms = m // 2
+    qs2 = qs[:-1]
+    E = S = ring_context(ms, qs2)
+    R = ring_context(m, qs2)
+    params2 = she.SHEParams(m=m, p=params.p, qs=qs2, var=params.var)
+    sk2 = she.SK(params2, sk.s_ints, sk.var)
+    ps = she.SHEParams(m=ms, p=params.p, qs=qs2, var=params.var)
+    sk_s = she.gen_sk(ps, jax.random.PRNGKey(64))
+    d = R.n // E.n
+    ys = [Cyc.zero(S) for _ in range(d)]
+    ys[0] = Cyc.scalar(S, 1)
+    th = she.tunnel_hint(lin.linear_pow(E, R, S, ys), sk_s, sk2, gd.RnsGad(),
+                         jax.random.PRNGKey(65))
+    bb2 = BatchedBGV(params2, use_pallas=False)
+    data_spec = NamedSharding(mesh, P(None, None, "data"))
+    e0d, e1d = (jax.device_put(np.asarray(x), data_spec) for x in (e0, e1))
+    t0s, t1s = bb2.build_tunnel(th, mesh=mesh)(e0d, e1d)
+    t0, t1 = bb2.build_tunnel(th)(jnp.asarray(np.asarray(e0)),
+                                  jnp.asarray(np.asarray(e1)))
+    np.testing.assert_array_equal(np.asarray(t0s), np.asarray(t0))
+    np.testing.assert_array_equal(np.asarray(t1s), np.asarray(t1))
+
+
+def test_remote_ntt_pallas_inverse_roundtrip(rng):
+    """Inverse ring-sharded transform: fwd -> inv == id, and inv matches
+    the numpy oracle (VERDICT r1 #9)."""
+    from lol_tpu.ops.pallas import remote_ntt as rn
+
+    mesh = sh.make_mesh({"ring": 4})
+    q = QS[0]
+    plan = ntt.ntt_plan(N, q)
+    x = rng.integers(0, q, (2, N), dtype=np.uint64).astype(np.uint32)
+    spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "ring")
+    )
+    xj = jax.device_put(jnp.asarray(x), spec)
+    fwd = rn.ntt_ring_sharded_pallas(mesh, xj, plan, interpret=True)
+    back = rn.intt_ring_sharded_pallas(
+        mesh, jax.device_put(fwd, spec), plan, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(back), x)
+    # inverse alone vs oracle
+    got = rn.intt_ring_sharded_pallas(mesh, xj, plan, interpret=True)
+    np.testing.assert_array_equal(got, ntt.np_ntt_inverse(x, plan))
