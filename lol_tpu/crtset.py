@@ -66,7 +66,12 @@ def _poly_div_exact(num: list[int], den: list[int]) -> list[int]:
 def power_to_powerful(m: int) -> np.ndarray:
     """(n, m) integer matrix T: powerful coeffs of zeta^a = T[:, a].
 
-    Per-axis: zeta^a = prod_i zeta_{p^e}^(a mod p^e); each axis factor
+    The powerful basis uses the axis roots zeta_{p^e} := zeta_m^(m/p^e)
+    (the same convention as ops/general.py's exponent map
+    exps[t] = sum_i j_i * (m/p_i^{e_i}) mod m), so the per-axis exponent
+    of zeta_m^a is b_i = a * [(m/p^e)^{-1}]_{p^e} mod p^e — NOT a mod p^e
+    (that would be the CRT-idempotent root convention, a hidden Galois
+    twist for multi-prime m with m/p^e != 1 mod p^e).  Each axis factor
     with exponent b >= phi(p^e) reduces via Phi_{p^e}(zeta_{p^e}) = 0:
     zeta^(phi + r) = -sum_{t<p-1} zeta^(t p^(e-1) + r)."""
     f = fact(m)
@@ -75,6 +80,7 @@ def power_to_powerful(m: int) -> np.ndarray:
     # per-axis: reduction vectors: for exponent b in [0, p^e): vector over
     # phi(p^e) basis coeffs
     axis_tables = []
+    axis_expinv = []
     for pp in f.pps:
         p, e = pp.p, pp.e
         pe, phi = p**e, pp.phi
@@ -87,14 +93,12 @@ def power_to_powerful(m: int) -> np.ndarray:
                 for t in range(p - 1):
                     tbl[b, t * p ** (e - 1) + r] = -1
         axis_tables.append(tbl)
+        axis_expinv.append(nt.modinv((m // pe) % pe, pe))
     T = np.zeros((n, m), dtype=np.int64)
-    strides = np.ones(len(shape), dtype=np.int64)
-    for a in range(len(shape) - 2, -1, -1):
-        strides[a] = strides[a + 1] * shape[a + 1]
     for a in range(m):
         vecs = []
-        for pp, tbl in zip(f.pps, axis_tables):
-            vecs.append(tbl[a % pp.value])
+        for pp, tbl, uinv in zip(f.pps, axis_tables, axis_expinv):
+            vecs.append(tbl[(a * uinv) % pp.value])
         out = vecs[0]
         for v in vecs[1:]:
             out = np.multiply.outer(out, v)

@@ -47,7 +47,6 @@ from . import she, zq
 from .gadget import RnsGad
 from .ops import general as gen
 from .ops.pallas import ntt_kernel as pk
-from .ring import ring_context
 
 
 # ---------------------------------------------------------------------------
@@ -161,25 +160,32 @@ class BatchedBGV:
         return out
 
     # --- per-channel transforms --------------------------------------------
-    def _ntt(self, x, inverse=False, plans=None):
-        """(nrns, n, B) per-channel negacyclic NTT (Pallas or XLA path)."""
+    def _ntt_one(self, x2d, plan, inverse=False):
+        """(n, B) single-channel negacyclic NTT (Pallas or XLA path)."""
         from .ops import ntt as _ntt_mod
 
+        if self._pallas_ok(x2d.shape[-1]):
+            return pk.ntt_cm(x2d, plan, inverse=inverse)
+        fn = (_ntt_mod.ntt_inverse_stages if inverse
+              else _ntt_mod.ntt_forward_stages)
+        return jnp.moveaxis(fn(jnp.moveaxis(x2d, 0, -1), plan), -1, 0)
+
+    def _ntt(self, x, inverse=False, plans=None):
+        """(nrns, n, B) per-channel negacyclic NTT (Pallas or XLA path)."""
         plans = plans if plans is not None else self.plans()
-        B = x.shape[-1]
-        if self._pallas_ok(B):
-            outs = [
-                pk.ntt_cm(x[i], plans[i], inverse=inverse)
-                for i in range(len(plans))
-            ]
-        else:
-            fn = (
-                _ntt_mod.ntt_inverse_stages if inverse else _ntt_mod.ntt_forward_stages
-            )
-            outs = [
-                jnp.moveaxis(fn(jnp.moveaxis(x[i], 0, -1), plans[i]), -1, 0)
-                for i in range(len(plans))
-            ]
+        return jnp.stack(
+            [self._ntt_one(x[i], plans[i], inverse) for i in range(len(plans))]
+        )
+
+    def _ntt_digit(self, dig_i, i, known_crt, plans):
+        """Forward NTT of digit i's channel stack, reusing the identity
+        digit_i[channel i] == iNTT(known_crt)[i]: its transform IS
+        known_crt[i] (exact; iNTT then NTT round-trips bit-exactly), so
+        1/nrns of the keyswitch digit NTTs are free."""
+        outs = [
+            known_crt[j] if j == i else self._ntt_one(dig_i[j], plans[j])
+            for j in range(len(plans))
+        ]
         return jnp.stack(outs)
 
     # --- batched encryption ------------------------------------------------
@@ -266,15 +272,15 @@ class BatchedBGV:
         h1 = jnp.asarray(
             np.stack([np.asarray(h.to_crt().data) for h in hint.h1])
         )[..., None]
-        plans2 = ring_context(self.params.m, qs[:-1]).ntt_plans()
 
         def _gathered(x):
-            """Replicate a (nrns, n, B) stack over the 'rns' mesh axis so
-            the per-digit channel re-expansion is local everywhere."""
+            """Replicate a stack over the 'rns' mesh axis so per-digit
+            channel re-expansion / cross-channel reads are local."""
             if mesh is None:
                 return x
+            spec = (None,) * (x.ndim - 1) + ("data",)
             return jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, P(None, None, "data"))
+                x, NamedSharding(mesh, P(*spec))
             )
 
         def _channel_sharded(x):
@@ -284,6 +290,34 @@ class BatchedBGV:
             return jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, P(*spec))
             )
+
+        ql = qs[-1]
+        pinv_l = nt.modinv(p % ql, ql)
+        plans = self.plans()
+
+        def rescale_crt(comp):
+            """Exact BGV drop-last rescale computed IN the CRT domain:
+            only the dropped channel is inverse-transformed; the p-multiple
+            correction polynomial delta is forward-transformed into each
+            surviving channel (every op is a ring hom mod q_i, so the
+            result is bit-identical to iNTT -> coeff rescale -> NTT, at
+            nrns transforms instead of 2*nrns - 1)."""
+            last_c = self._ntt_one(comp[-1], plans[-1], inverse=True)
+            v = zq.mul_mod(last_c, jnp.uint32(pinv_l), ql)
+            v = _gathered(v)
+            is_high = v >= jnp.uint32((ql + 1) // 2)
+            chans = []
+            for i, qi in enumerate(qs[:-1]):
+                inv = nt.modinv(ql % qi, qi)
+                vi = zq.reduce_mod(v, qi)
+                vi = jnp.where(
+                    is_high, zq.sub_mod(vi, jnp.uint32(ql % qi), qi), vi
+                )
+                delta = zq.mul_mod(vi, jnp.uint32(p % qi), qi)
+                nd = self._ntt_one(delta, plans[i])
+                d = zq.sub_mod(comp[i], nd, qi)
+                chans.append(zq.mul_mod(d, jnp.uint32(inv), qi))
+            return jnp.stack(chans)
 
         @jax.jit
         def step(c0, c1, d0, d1):
@@ -296,26 +330,11 @@ class BatchedBGV:
             e2c = _gathered(self._ntt(e2, inverse=True))
             digits = _channel_sharded(decompose_cm(qs, e2c))
             for i in range(nrns):
-                di = self._ntt(digits[i])
+                # digit i's channel i is e2c[i] itself -> its NTT is e2[i]
+                di = self._ntt_digit(digits[i], i, e2, plans)
                 e0 = _addmod_ch(qs, e0, _mulmod_ch(qs, di, h0[i]))
                 e1 = _addmod_ch(qs, e1, _mulmod_ch(qs, di, h1[i]))
-            # rescale both components (coeff domain), NTT forward on the
-            # shortened chain
-            out = []
-            for comp in (e0, e1):
-                cc = _gathered(self._ntt(comp, inverse=True))
-                rc = bgv_rescale_cm(qs, p, cc)
-                out.append(rc)
-            out = [
-                jnp.stack(
-                    [
-                        self._ntt(c[i][None], plans=[plans2[i]])[0]
-                        for i in range(nrns - 1)
-                    ]
-                )
-                for c in out
-            ]
-            return out[0], out[1]
+            return rescale_crt(e0), rescale_crt(e1)
 
         return step
 
@@ -345,9 +364,10 @@ class BatchedBGV:
             c1k = c1[:, perm, :]
             c1c = self._ntt(c1k, inverse=True)
             digits = decompose_cm(qs, c1c)
+            plans = self.plans()
             e0, e1 = c0k, jnp.zeros_like(c1k)
             for i in range(nrns):
-                di = self._ntt(digits[i])
+                di = self._ntt_digit(digits[i], i, c1k, plans)
                 e0 = _addmod_ch(qs, e0, _mulmod_ch(qs, di, h0[i]))
                 e1 = _addmod_ch(qs, e1, _mulmod_ch(qs, di, h1[i]))
             return e0, e1

@@ -84,3 +84,61 @@ def test_slot_restriction():
     assert set(r.tolist()) <= set(range(crtset.num_slots(3, 2)))
     # every sub-slot is covered
     assert set(r.tolist()) == set(range(crtset.num_slots(3, 2)))
+
+
+def test_power_to_powerful_monomial_identity_multiprime():
+    """T must send zeta^exps[t] to basis vector e_t for MULTI-prime m —
+    the round-1 table used the CRT-idempotent axis-root convention
+    (a hidden Galois twist whenever m/p^e != 1 mod p^e)."""
+    from lol_tpu.linear import _powerful_exponents
+
+    for m in (12, 21, 63, 36):
+        T = crtset.power_to_powerful(m)
+        exps = _powerful_exponents(m)
+        for t, a in enumerate(exps):
+            e = np.zeros(len(exps), dtype=np.int64)
+            e[t] = 1
+            np.testing.assert_array_equal(T[:, a], e, err_msg=f"m={m} t={t}")
+
+
+def test_crt_set_cyc_multiplies_like_slots():
+    """crt_set_cyc elements must be idempotent UNDER CYC MULTIPLICATION
+    (catches power->powerful convention mismatches that the power-basis
+    polynomial tests cannot see)."""
+    for m, p, k in [(21, 2, 1), (63, 2, 1), (12, 5, 1)]:
+        es = crtset.crt_set_cyc(m, p, k)
+        for e in es[:3]:
+            assert (e * e).to_pow() == e.to_pow(), (m, p)
+        z = es[0] * es[1]
+        assert z.to_pow() == Cyc.zero(es[0].ctx).to_pow(), (m, p)
+
+
+def test_slot_projection_odd_tower_hensel(rng):
+    """slot_projection over the 63 -> 21 tower at pk = 4 (Hensel-lifted
+    CRT sets): selected-slot values survive the descent."""
+    from lol_tpu import linear as lin
+    from lol_tpu import numtheory as nt
+    from lol_tpu.cyc import Rep
+
+    pk = 4
+    qs = tuple(nt.ntt_primes(63, 30, 2))
+    R, S = ring_context(63, qs), ring_context(21, qs)
+    f = lin.slot_projection(R, S, pk, mode="select")
+    cR = crtset.crt_set_cyc(63, 2, k=2)
+    cS = crtset.crt_set_cyc(21, 2, k=2)
+    restr = crtset.slot_restriction(21, 63, 2)
+    Rp, Sp = ring_context(63, (pk,)), ring_context(21, (pk,))
+    fp = lin.Linear(Sp, Rp, Sp, tuple(
+        Cyc.from_ints(Sp, np.array([int(v) % pk for v in y.lift_ints(rep=Rep.POW)]))
+        for y in f.ys))
+    vals = rng.integers(0, pk, len(cR))
+    x = Cyc.zero(Rp)
+    for j, c in enumerate(cR):
+        x = x + c * int(vals[j])
+    fibers = {}
+    for j in range(len(cR)):
+        fibers.setdefault(int(restr[j]), []).append(j)
+    exp = Cyc.zero(Sp)
+    for i, c in enumerate(cS):
+        exp = exp + c * int(vals[fibers[i][0]])
+    assert lin.eval_lin(fp, x).to_pow() == exp.to_pow()
