@@ -87,6 +87,22 @@ def run(n: int = 4096, batch: int = 1024, nrns: int = 2, use_tpu=True):
     dj = jax.jit(lambda v: gd.decompose(gd.RnsGad(), ctx.basis, v))
     add("decompose (rns)", "xla", _time(dj, (xr,)))
 
+    # cross-ring index ops + the device Garner lift (r2 additions)
+    sub = ring_context(n, tuple(qs))  # index n = half of ctx's 2n
+    ej = jax.jit(lambda v: rg.embed_pow(sub, ctx, v))
+    tj = jax.jit(lambda v: rg.twace_pow(ctx, sub, v))
+    xs_sub = xr[..., : sub.n]
+    add("embedPow", "xla", _time(ej, (xs_sub,)))
+    add("twacePowDec", "xla", _time(tj, (xr,)))
+    ecj = jax.jit(lambda v: rg.embed_crt(sub, ctx, v))
+    tcj = jax.jit(lambda v: rg.twace_crt(ctx, sub, v))
+    add("embedCRT", "xla", _time(ecj, (xs_sub,)))
+    add("twaceCRT", "xla", _time(tcj, (xr,)))
+    cj = jax.jit(lambda v: rg.coeffs_pow(ctx, sub, v))
+    add("coeffs", "xla", _time(cj, (xr,)))
+    liftj = jax.jit(lambda v: ctx.basis.lift_mod_jnp(v, 257))
+    add("liftDec mod p", "xla", _time(liftj, (xr,)))
+
     # dense odd-axis DFT matvec (general-m CRT leg): VPU vs MXU paths
     from ..ops import general as gen
 
