@@ -18,6 +18,14 @@ import time
 
 import numpy as np
 
+_T0 = time.time()
+
+
+def _mark(msg):
+    """Progress timestamps on stderr (the JSON line on stdout stays clean);
+    makes a driver-side timeout diagnosable."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
 
 def bench_ntt():
     import jax
@@ -31,10 +39,12 @@ def bench_ntt():
     qs = nt.ntt_primes(2 * n, 30, 2)  # 2 x 30-bit primes ~ one 60-bit modulus
     plans = [ntt.ntt_plan(n, q) for q in qs]
     B = 16384  # measured on v5e: 1.71M NTT/s vs 1.47M at B=8192 (grid amortization)
-    rng = np.random.default_rng(0)
+    # inputs generated ON DEVICE: uploading (n, B) u32 stacks through the
+    # tunnel costs minutes; only guard columns ever cross to the host
+    keys = jax.random.split(jax.random.PRNGKey(0), len(qs))
     xs = [
-        jnp.asarray(rng.integers(0, q, (n, B), dtype=np.uint64).astype(np.uint32))
-        for q in qs
+        jax.random.randint(k, (n, B), 0, q, dtype=jnp.uint32)
+        for k, q in zip(keys, qs)
     ]
 
     device = jax.devices()[0]
@@ -43,11 +53,12 @@ def bench_ntt():
     def step(arrs):
         return [pk.ntt_cm(a, p) for a, p in zip(arrs, plans)]
 
-    # correctness guard: one column vs the numpy oracle
+    # correctness guard: one column vs the numpy oracle (device-side slice
+    # so only n values are downloaded)
     ys = step(xs)
     [y.block_until_ready() for y in ys]
-    want = ntt.np_ntt_forward(np.asarray(xs[0]).T[:1], plans[0])
-    got = np.asarray(ys[0])[:, :1].T
+    want = ntt.np_ntt_forward(np.asarray(xs[0][:, :1]).T, plans[0])
+    got = np.asarray(ys[0][:, :1]).T
     np.testing.assert_array_equal(got, want)
 
     # warmup: let dispatch/thermal settle after the long compile
@@ -74,8 +85,11 @@ def _she_setup(m, nrns, p=257):
     qs = tuple(nt.ntt_primes(m, 30, nrns))
     params = she.SHEParams(m=m, p=p, qs=qs, var=2.0)
     ks, kh = jax.random.split(jax.random.PRNGKey(0))
+    _mark(f"she_setup m={m}: gen_sk")
     sk = she.gen_sk(params, ks)
+    _mark("she_setup: ks_quad_circ_hint")
     hint = she.ks_quad_circ_hint(sk, gd.RnsGad(), kh)
+    _mark("she_setup: done")
     return BatchedBGV(params), sk, hint
 
 
@@ -92,13 +106,17 @@ def bench_bgv(m, nrns, batch, iters):
     n = params.ctx.n
     enc = bb.build_encrypt(sk)
     step = bb.build_step(hint)
-    rng = np.random.default_rng(1)
-    m1 = rng.integers(0, params.p, (n, batch)).astype(np.int32)
-    m2 = rng.integers(0, params.p, (n, batch)).astype(np.int32)
-    c0, c1 = enc(jnp.asarray(m1), jax.random.PRNGKey(2))
-    d0, d1 = enc(jnp.asarray(m2), jax.random.PRNGKey(3))
+    # messages generated on device; only guard columns cross the tunnel
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    m1 = jax.random.randint(k1, (n, batch), 0, params.p, dtype=jnp.int32)
+    m2 = jax.random.randint(k2, (n, batch), 0, params.p, dtype=jnp.int32)
+    _mark("bgv: compile/run encrypt")
+    c0, c1 = enc(m1, jax.random.PRNGKey(2))
+    d0, d1 = enc(m2, jax.random.PRNGKey(3))
+    _mark("bgv: compile/run step")
     e0, e1 = step(c0, c1, d0, d1)
     jax.block_until_ready((e0, e1))
+    _mark("bgv: decrypt guard")
 
     # guard: batched decrypt of column 0 == exact plaintext ring product
     params2 = she.SHEParams(m=m, p=params.p, qs=params.qs[:-1], var=params.var)
@@ -108,14 +126,18 @@ def bench_bgv(m, nrns, batch, iters):
     sk2 = she.SK(params2, sk.s_ints, sk.var)
     f2 = nt.modinv(params.qs[-1] % params.p, params.p)
     dec = bb2.build_decrypt(sk2, f=f2)
-    got = np.asarray(dec(e0, e1))[:, 0]
-    want = _pt_mul_exact(params, m1[:, 0], m2[:, 0])
+    got = np.asarray(dec(e0, e1)[:, :1])[:, 0]
+    want = _pt_mul_exact(
+        params, np.asarray(m1[:, 0]), np.asarray(m2[:, 0])
+    )
     np.testing.assert_array_equal(got, want)
 
+    _mark("bgv: timing loop")
     t0 = time.time()
     for _ in range(iters):
         e0, e1 = step(c0, c1, d0, d1)
     jax.block_until_ready((e0, e1))
+    _mark("bgv: done")
     return n, batch * iters / (time.time() - t0)
 
 
@@ -146,6 +168,7 @@ def bench_tunnel(m_r, m_s, nrns, batch, iters):
     pr = she.SHEParams(m=m_r, p=257, qs=qs, var=2.0)
     ps = she.SHEParams(m=m_s, p=257, qs=qs, var=2.0)
     kr, ks_, kh = jax.random.split(jax.random.PRNGKey(5), 3)
+    _mark(f"tunnel m={m_r}->{m_s}: gen_sks")
     sk_r = she.gen_sk(pr, kr)
     sk_s = she.gen_sk(ps, ks_)
     E = ring_context(m_s, qs)
@@ -155,26 +178,33 @@ def bench_tunnel(m_r, m_s, nrns, batch, iters):
     ys = [Cyc.zero(S) for _ in range(d)]
     ys[0] = Cyc.scalar(S, 1)  # canonical tower-descent projection
     f = lin.linear_pow(E, R, S, ys)
+    _mark("tunnel: tunnel_hint")
     th = she.tunnel_hint(f, sk_s, sk_r, gd.RnsGad(), kh)
     bb = BatchedBGV(pr)
     tun = bb.build_tunnel(th)
     enc = bb.build_encrypt(sk_r)
-    rng = np.random.default_rng(2)
-    msgs = rng.integers(0, pr.p, (R.n, batch)).astype(np.int32)
-    c0, c1 = enc(jnp.asarray(msgs), jax.random.PRNGKey(6))
+    msgs = jax.random.randint(
+        jax.random.PRNGKey(8), (R.n, batch), 0, pr.p, dtype=jnp.int32
+    )
+    _mark("tunnel: compile/run")
+    c0, c1 = enc(msgs, jax.random.PRNGKey(6))
     e0, e1 = tun(c0, c1)
     jax.block_until_ready((e0, e1))
+    _mark("tunnel: timing loop")
     t0 = time.time()
     for _ in range(iters):
         e0, e1 = tun(c0, c1)
     jax.block_until_ready((e0, e1))
+    _mark("tunnel: done")
     return batch * iters / (time.time() - t0)
 
 
 def main():
     import jax
 
+    _mark("ntt leg")
     n_ntt, ntts_per_sec, device = bench_ntt()
+    _mark(f"ntt leg done: {ntts_per_sec:.0f}/s")
     on_tpu = device.platform == "tpu"
     # config 5 scale on TPU; tiny smoke ring off-TPU (dev machines)
     m_she = 32768 if on_tpu else 256

@@ -110,6 +110,32 @@ def _crt_const(cyc_val, qs) -> jnp.ndarray:
     return jnp.asarray(np.asarray(cyc_val.to_crt().data))[..., None]
 
 
+def _crt_const_sh(cyc_val, qs):
+    """A Cyc as ((nrns, n, 1) values, same-shape Shoup companions).
+
+    Constant CRT Hadamards then run 5-multiply Shoup instead of the
+    11-multiply variable-variable Barrett (bit-identical results)."""
+    w = np.asarray(cyc_val.to_crt().data)  # (nrns, n)
+    wsh = np.stack([zq.shoup_np(w[i], q) for i, q in enumerate(qs)])
+    return jnp.asarray(w)[..., None], jnp.asarray(wsh)[..., None]
+
+
+def _hint_const_sh(hs, qs):
+    """Hint Cyc list -> ((ell, nrns, n, 1) values, companions)."""
+    w = np.stack([np.asarray(h.to_crt().data) for h in hs])  # (ell, nrns, n)
+    wsh = np.stack(
+        [zq.shoup_np(w[:, i], q) for i, q in enumerate(qs)], axis=1
+    )
+    return jnp.asarray(w)[..., None], jnp.asarray(wsh)[..., None]
+
+
+def _mulmod_sh_ch(qs, a, w, wsh):
+    """Per-channel constant Hadamard with precomputed Shoup companions."""
+    return jnp.stack(
+        [zq.mul_mod_shoup(a[i], w[i], wsh[i], q) for i, q in enumerate(qs)]
+    )
+
+
 @dataclass(frozen=True)
 class BatchedBGV:
     """Compiled batched pipeline for one SHEParams (RnsGad keyswitch).
@@ -199,7 +225,7 @@ class BatchedBGV:
         p = self.params.p
         n = self.ctx.n
         var = self.params.var
-        s_crt = _crt_const(she.Cyc.from_ints(self.ctx, sk.s_ints), qs)
+        s_crt, s_sh = _crt_const_sh(she.Cyc.from_ints(self.ctx, sk.s_ints), qs)
 
         @jax.jit
         def enc(msgs, key):
@@ -220,7 +246,7 @@ class BatchedBGV:
                     for i, q in enumerate(qs)
                 ]
             )
-            c0 = _submod_ch(qs, me_crt, _mulmod_ch(qs, c1, jnp.broadcast_to(s_crt, c1.shape)))
+            c0 = _submod_ch(qs, me_crt, _mulmod_sh_ch(qs, c1, s_crt, s_sh))
             return c0, c1
 
         return enc
@@ -238,14 +264,12 @@ class BatchedBGV:
         qs = self.qs
         p = self.params.p
         basis = self.ctx.basis
-        s_crt = _crt_const(she.Cyc.from_ints(self.ctx, sk.s_ints), qs)
+        s_crt, s_sh = _crt_const_sh(she.Cyc.from_ints(self.ctx, sk.s_ints), qs)
         finv = nt.modinv(f % p, p)
 
         @jax.jit
         def dec(c0, c1):
-            cs = _addmod_ch(
-                qs, c0, _mulmod_ch(qs, c1, jnp.broadcast_to(s_crt, c1.shape))
-            )
+            cs = _addmod_ch(qs, c0, _mulmod_sh_ch(qs, c1, s_crt, s_sh))
             coeff = self._ntt(cs, inverse=True)  # (nrns, n, B) POW/DEC
             # lift_mod_jnp wants rns at axis -2: (n, nrns, B) view
             lifted = basis.lift_mod_jnp(jnp.moveaxis(coeff, 0, 1), p)
@@ -265,13 +289,9 @@ class BatchedBGV:
         qs = self.qs
         nrns = len(qs)
         p = self.params.p
-        # hint components as (ell=nrns, nrns, n, 1) constants
-        h0 = jnp.asarray(
-            np.stack([np.asarray(h.to_crt().data) for h in hint.h0])
-        )[..., None]
-        h1 = jnp.asarray(
-            np.stack([np.asarray(h.to_crt().data) for h in hint.h1])
-        )[..., None]
+        # hint components as (ell=nrns, nrns, n, 1) constants (+ Shoup)
+        h0, h0s = _hint_const_sh(hint.h0, qs)
+        h1, h1s = _hint_const_sh(hint.h1, qs)
 
         def _gathered(x):
             """Replicate a stack over the 'rns' mesh axis so per-digit
@@ -301,9 +321,13 @@ class BatchedBGV:
             correction polynomial delta is forward-transformed into each
             surviving channel (every op is a ring hom mod q_i, so the
             result is bit-identical to iNTT -> coeff rescale -> NTT, at
-            nrns transforms instead of 2*nrns - 1)."""
+            nrns transforms instead of 2*nrns - 1).  All scalar constants
+            carry Shoup companions."""
             last_c = self._ntt_one(comp[-1], plans[-1], inverse=True)
-            v = zq.mul_mod(last_c, jnp.uint32(pinv_l), ql)
+            v = zq.mul_mod_shoup(
+                last_c, jnp.uint32(pinv_l),
+                jnp.uint32(zq.shoup(pinv_l, ql)), ql,
+            )
             v = _gathered(v)
             is_high = v >= jnp.uint32((ql + 1) // 2)
             chans = []
@@ -313,10 +337,15 @@ class BatchedBGV:
                 vi = jnp.where(
                     is_high, zq.sub_mod(vi, jnp.uint32(ql % qi), qi), vi
                 )
-                delta = zq.mul_mod(vi, jnp.uint32(p % qi), qi)
+                delta = zq.mul_mod_shoup(
+                    vi, jnp.uint32(p % qi),
+                    jnp.uint32(zq.shoup(p % qi, qi)), qi,
+                )
                 nd = self._ntt_one(delta, plans[i])
                 d = zq.sub_mod(comp[i], nd, qi)
-                chans.append(zq.mul_mod(d, jnp.uint32(inv), qi))
+                chans.append(zq.mul_mod_shoup(
+                    d, jnp.uint32(inv), jnp.uint32(zq.shoup(inv, qi)), qi,
+                ))
             return jnp.stack(chans)
 
         @jax.jit
@@ -332,8 +361,8 @@ class BatchedBGV:
             for i in range(nrns):
                 # digit i's channel i is e2c[i] itself -> its NTT is e2[i]
                 di = self._ntt_digit(digits[i], i, e2, plans)
-                e0 = _addmod_ch(qs, e0, _mulmod_ch(qs, di, h0[i]))
-                e1 = _addmod_ch(qs, e1, _mulmod_ch(qs, di, h1[i]))
+                e0 = _addmod_ch(qs, e0, _mulmod_sh_ch(qs, di, h0[i], h0s[i]))
+                e1 = _addmod_ch(qs, e1, _mulmod_sh_ch(qs, di, h1[i], h1s[i]))
             return rescale_crt(e0), rescale_crt(e1)
 
         return step
@@ -351,12 +380,8 @@ class BatchedBGV:
         perm = jnp.asarray(
             zmstar.automorphism_slot_perm(self.ctx.m, qs[0], k)
         )
-        h0 = jnp.asarray(
-            np.stack([np.asarray(h.to_crt().data) for h in hint.h0])
-        )[..., None]
-        h1 = jnp.asarray(
-            np.stack([np.asarray(h.to_crt().data) for h in hint.h1])
-        )[..., None]
+        h0, h0s = _hint_const_sh(hint.h0, qs)
+        h1, h1s = _hint_const_sh(hint.h1, qs)
 
         @jax.jit
         def gal(c0, c1):
@@ -368,8 +393,8 @@ class BatchedBGV:
             e0, e1 = c0k, jnp.zeros_like(c1k)
             for i in range(nrns):
                 di = self._ntt_digit(digits[i], i, c1k, plans)
-                e0 = _addmod_ch(qs, e0, _mulmod_ch(qs, di, h0[i]))
-                e1 = _addmod_ch(qs, e1, _mulmod_ch(qs, di, h1[i]))
+                e0 = _addmod_ch(qs, e0, _mulmod_sh_ch(qs, di, h0[i], h0s[i]))
+                e1 = _addmod_ch(qs, e1, _mulmod_sh_ch(qs, di, h1[i], h1s[i]))
             return e0, e1
 
         return gal
@@ -400,15 +425,9 @@ class BatchedBGV:
         plans_s = s_ctx.ntt_plans()
         coeff_tbl = jnp.asarray(gen.rel_coeff_table(e_ctx.m, r_ctx.m))  # (d, n_e)
         embed_tbl = jnp.asarray(gen.embed_pow_table(e_ctx.m, s_ctx.m))  # (n_e,)
-        ys = [_crt_const(y, qs) for y in lin.ys]  # images f(b_i), CRT over S
-        hints0 = [
-            jnp.asarray(np.stack([np.asarray(h.to_crt().data) for h in hh.h0]))[..., None]
-            for hh in th.hints
-        ]
-        hints1 = [
-            jnp.asarray(np.stack([np.asarray(h.to_crt().data) for h in hh.h1]))[..., None]
-            for hh in th.hints
-        ]
+        ys = [_crt_const_sh(y, qs) for y in lin.ys]  # images f(b_i), CRT over S
+        hints0 = [_hint_const_sh(hh.h0, qs) for hh in th.hints]
+        hints1 = [_hint_const_sh(hh.h1, qs) for hh in th.hints]
 
         def _gathered(x):
             if mesh is None:
@@ -449,14 +468,21 @@ class BatchedBGV:
             for i in range(d):
                 a0 = c0p[:, coeff_tbl[i], :]  # (nrns, n_e, B)
                 e0 = _addmod_ch(
-                    qs, e0, _mulmod_ch(qs, _ntt_s(_embed_s(a0)), ys[i])
+                    qs, e0,
+                    _mulmod_sh_ch(qs, _ntt_s(_embed_s(a0)), *ys[i]),
                 )
                 a1 = c1p[:, coeff_tbl[i], :]
                 digits = decompose_cm(qs, a1)  # (ell, nrns, n_e, B)
                 for j in range(nrns):
                     dj = _ntt_s(_embed_s(digits[j]))
-                    e0 = _addmod_ch(qs, e0, _mulmod_ch(qs, dj, hints0[i][j]))
-                    e1 = _addmod_ch(qs, e1, _mulmod_ch(qs, dj, hints1[i][j]))
+                    h0v, h0s = hints0[i]
+                    h1v, h1s = hints1[i]
+                    e0 = _addmod_ch(
+                        qs, e0, _mulmod_sh_ch(qs, dj, h0v[j], h0s[j])
+                    )
+                    e1 = _addmod_ch(
+                        qs, e1, _mulmod_sh_ch(qs, dj, h1v[j], h1s[j])
+                    )
             return e0, e1
 
         return tun

@@ -137,6 +137,16 @@ def shoup(w: int, q: int) -> int:
     return (int(w) << 32) // q
 
 
+def shoup_np(w: np.ndarray, q: int) -> np.ndarray:
+    """Vectorized Shoup companions for a u32 constant array, entries < q.
+
+    (w << 32) < 2^62 fits int64; the quotient fits u32 since w < q."""
+    w64 = w.astype(np.int64)
+    if w64.size and int(w64.max()) >= q:
+        raise ValueError("shoup_np: entries must be < q")
+    return ((w64 << 32) // q).astype(np.uint32)
+
+
 def mul_mod_shoup(a, w, w_sh, q):
     """(a*w) mod q with precomputed w_sh = floor(w*2^32/q); 5 multiplies.
 
