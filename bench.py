@@ -87,10 +87,11 @@ def _she_setup(m, nrns, p=257):
     ks, kh = jax.random.split(jax.random.PRNGKey(0))
     _mark(f"she_setup m={m}: gen_sk")
     sk = she.gen_sk(params, ks)
-    _mark("she_setup: ks_quad_circ_hint")
-    hint = she.ks_quad_circ_hint(sk, gd.RnsGad(), kh)
+    _mark("she_setup: gen_ks_quad_hint (device)")
+    bb = BatchedBGV(params)
+    hint = bb.gen_ks_quad_hint(sk, kh)
     _mark("she_setup: done")
-    return BatchedBGV(params), sk, hint
+    return bb, sk, hint
 
 
 def bench_bgv(m, nrns, batch, iters):
@@ -142,16 +143,23 @@ def bench_bgv(m, nrns, batch, iters):
 
 
 def _pt_mul_exact(params, a, b):
-    """Exact plaintext negacyclic product via an auxiliary RNS ring."""
-    from lol_tpu import numtheory as nt
-    from lol_tpu.cyc import Cyc, Rep
-    from lol_tpu.ring import ring_context
+    """Exact plaintext negacyclic product — pure numpy NTTs over an
+    auxiliary RNS chain (no device ops: object-path Cyc arithmetic at
+    n=2^14 costs ~10s/op in tunneled per-op round trips)."""
+    from lol_tpu import numtheory as nt, rns
+    from lol_tpu.ops import ntt as ntt_mod
 
-    aux = ring_context(params.m, tuple(nt.ntt_primes(params.m, 29, 3)))
-    prod = (
-        Cyc.from_ints(aux, a, rep=Rep.DEC) * Cyc.from_ints(aux, b, rep=Rep.DEC)
-    ).lift_ints(rep=Rep.DEC)
-    return (prod % params.p).astype(np.int64)
+    n, m = len(a), params.m
+    aux_qs = tuple(nt.ntt_primes(m, 29, 3))
+    res = []
+    for q in aux_qs:
+        plan = ntt_mod.ntt_plan(n, q)
+        fa = ntt_mod.np_ntt_forward(np.mod(a, q).astype(np.uint32)[None], plan)
+        fb = ntt_mod.np_ntt_forward(np.mod(b, q).astype(np.uint32)[None], plan)
+        prod = (fa[0].astype(np.int64) * fb[0].astype(np.int64)) % q
+        res.append(ntt_mod.np_ntt_inverse(prod[None].astype(np.uint32), plan)[0])
+    lifted = rns.rns_basis(aux_qs).lift_centered(np.stack(res))
+    return (lifted % params.p).astype(np.int64)
 
 
 def bench_tunnel(m_r, m_s, nrns, batch, iters):
@@ -178,9 +186,9 @@ def bench_tunnel(m_r, m_s, nrns, batch, iters):
     ys = [Cyc.zero(S) for _ in range(d)]
     ys[0] = Cyc.scalar(S, 1)  # canonical tower-descent projection
     f = lin.linear_pow(E, R, S, ys)
-    _mark("tunnel: tunnel_hint")
-    th = she.tunnel_hint(f, sk_s, sk_r, gd.RnsGad(), kh)
     bb = BatchedBGV(pr)
+    _mark("tunnel: gen_tunnel_hint (device)")
+    th = bb.gen_tunnel_hint(f, sk_s, sk_r, kh)
     tun = bb.build_tunnel(th)
     enc = bb.build_encrypt(sk_r)
     msgs = jax.random.randint(

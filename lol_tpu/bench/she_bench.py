@@ -27,20 +27,19 @@ def run(m: int = 8192, nrns: int = 3, batch: int = 2048, p: int = 257,
     key = jax.random.PRNGKey(0)
     ks, kh = jax.random.split(key)
     sk = she.gen_sk(params, ks)
-    hint = she.ks_quad_circ_hint(sk, gd.RnsGad(), kh)
     bb = BatchedBGV(params)
+    hint = bb.gen_ks_quad_hint(sk, kh)  # one-call device keygen
     step = bb.build_step(hint)
 
     n = params.ctx.n
-    rng = np.random.default_rng(0)
+    # uniform component stacks generated on device (host uploads of
+    # (nrns, n, batch) arrays through a tunneled TPU dominate wall time)
     arrs = [
-        jnp.asarray(
-            np.stack(
-                [rng.integers(0, q, (n, batch), dtype=np.uint64).astype(np.uint32)
-                 for q in qs]
-            )
-        )
-        for _ in range(4)
+        jnp.stack([
+            jax.random.randint(k, (n, batch), 0, q, dtype=jnp.uint32)
+            for k, q in zip(jax.random.split(jax.random.PRNGKey(9 + i), nrns), qs)
+        ])
+        for i in range(4)
     ]
     out = step(*arrs)
     jax.block_until_ready(out)

@@ -106,8 +106,12 @@ def bgv_rescale_cm(qs, p, x):
 
 
 def _crt_const(cyc_val, qs) -> jnp.ndarray:
-    """A Cyc baked as an (nrns, n, 1) CRT-domain jit constant."""
-    return jnp.asarray(np.asarray(cyc_val.to_crt().data))[..., None]
+    """A Cyc baked as an (nrns, n, 1) CRT-domain jit constant.
+
+    Uses the host numpy CRT (no eager device NTTs: on a tunneled TPU an
+    object-path to_crt() at n=2^14 costs ~a minute of per-op round
+    trips; the numpy transform is milliseconds)."""
+    return jnp.asarray(_cyc_crt_np(cyc_val))[..., None]
 
 
 def _crt_const_sh(cyc_val, qs):
@@ -115,14 +119,14 @@ def _crt_const_sh(cyc_val, qs):
 
     Constant CRT Hadamards then run 5-multiply Shoup instead of the
     11-multiply variable-variable Barrett (bit-identical results)."""
-    w = np.asarray(cyc_val.to_crt().data)  # (nrns, n)
+    w = _cyc_crt_np(cyc_val)  # (nrns, n)
     wsh = np.stack([zq.shoup_np(w[i], q) for i, q in enumerate(qs)])
     return jnp.asarray(w)[..., None], jnp.asarray(wsh)[..., None]
 
 
 def _hint_const_sh(hs, qs):
     """Hint Cyc list -> ((ell, nrns, n, 1) values, companions)."""
-    w = np.stack([np.asarray(h.to_crt().data) for h in hs])  # (ell, nrns, n)
+    w = np.stack([_cyc_crt_np(h) for h in hs])  # (ell, nrns, n)
     wsh = np.stack(
         [zq.shoup_np(w[:, i], q) for i, q in enumerate(qs)], axis=1
     )
@@ -494,3 +498,238 @@ class BatchedBGV:
             m=th.lin.s_ctx.m, p=self.params.p, qs=self.qs, var=self.params.var
         )
         return BatchedBGV(new_params, use_pallas=self.use_pallas)
+
+    # --- device-side hint generation (TPU-speed keygen) ---------------------
+    # The object path (she._ks_hint / she.tunnel_hint) runs one eager
+    # device op per Cyc operation — dozens of network round trips on a
+    # tunneled TPU (~150s per hint set at n=2^14).  These wrappers compute
+    # the (cheap, exact) targets in host numpy and produce all gadget
+    # hints in ONE jitted device call; output distribution matches the
+    # object path (threefry gaussians/uniforms), results are interchangeable
+    # KSHint/TunnelHint objects (hints are keygen randomness — equality
+    # with the host path is not required, decryption correctness is).
+
+    def gen_ks_quad_hint(self, sk: she.SK, key) -> she.KSHint:
+        """Device-generated relinearization hint (she.ks_quad_circ_hint)."""
+        s_crt = _s_crt_np(self.ctx, sk.s_ints)
+        qs = self.qs
+        s2 = np.stack(
+            [zq.np_mul_mod(s_crt[i], s_crt[i], q) for i, q in enumerate(qs)]
+        )
+        h0, h1 = _gen_gadget_hints(
+            self.params, self.ctx, sk.s_ints, s2[None], key
+        )
+        return _mk_ks_hint(self.params, self.ctx, h0[0], h1[0])
+
+    def gen_ks_linear_hint(self, s_new: she.SK, s_old: she.SK, key) -> she.KSHint:
+        """Device-generated re-encryption hint (she.ks_linear_hint)."""
+        tgt = _s_crt_np(self.ctx, s_old.s_ints)
+        h0, h1 = _gen_gadget_hints(
+            self.params, self.ctx, s_new.s_ints, tgt[None], key
+        )
+        return _mk_ks_hint(self.params, self.ctx, h0[0], h1[0])
+
+    def gen_galois_hint(self, k: int, sk: she.SK, key) -> she.KSHint:
+        """Device-generated sigma_k hint (she.ks_galois_hint)."""
+        from . import zmstar
+
+        perm = zmstar.automorphism_slot_perm(self.ctx.m, self.qs[0], k)
+        tgt = _s_crt_np(self.ctx, sk.s_ints)[:, perm]
+        h0, h1 = _gen_gadget_hints(
+            self.params, self.ctx, sk.s_ints, tgt[None], key
+        )
+        return _mk_ks_hint(self.params, self.ctx, h0[0], h1[0])
+
+    def gen_tunnel_hint(self, lin, sk_s: she.SK, sk_r: she.SK,
+                        key) -> she.TunnelHint:
+        """Device-generated ring-tunneling hint set (she.tunnel_hint).
+
+        Targets f(b_i * s_R) are exact host numpy (b_i * s_R is a
+        negacyclic monomial shift of the secret's integer coefficients;
+        evalLin is gather + embed-scatter + np NTT + Hadamard per
+        relative basis element); all d*ell gadget hints then come from
+        one device call.  2-power towers only."""
+        r_ctx, s_ctx, e_ctx = lin.r_ctx, lin.s_ctx, lin.e_ctx
+        if r_ctx != self.ctx:
+            raise ValueError("gen_tunnel_hint: pipeline ring != source ring")
+        if not (r_ctx.fm.is_pow2() and s_ctx.fm.is_pow2()):
+            raise ValueError("gen_tunnel_hint: 2-power towers only")
+        qs = self.qs
+        nrns = len(qs)
+        n_r, n_s = r_ctx.n, s_ctx.n
+        coeff_tbl = gen.rel_coeff_table(e_ctx.m, r_ctx.m)  # (d, n_e)
+        embed_tbl = gen.embed_pow_table(e_ctx.m, s_ctx.m)  # (n_e,)
+        pos = gen.rel_pow_basis_positions(e_ctx.m, r_ctx.m)  # (d,)
+        d = coeff_tbl.shape[0]
+        ys_crt = [_cyc_crt_np(y) for y in lin.ys]
+        s_plans = s_ctx.ntt_plans()
+        s_ints = np.asarray(sk_r.s_ints, dtype=np.int64)
+
+        from .ops import ntt as ntt_mod
+
+        targets = []
+        for i in range(d):
+            sh = _monomial_mul_np(s_ints, int(pos[i]), n_r)  # b_i * s_R
+            tgt = np.zeros((nrns, n_s), dtype=np.uint32)
+            for k_rel in range(d):
+                a_k = sh[coeff_tbl[k_rel]]  # (n_e,) rel coeff over E
+                emb = np.zeros(n_s, dtype=np.int64)
+                emb[embed_tbl] = a_k
+                for ch, q in enumerate(qs):
+                    crt = ntt_mod.np_ntt_forward(
+                        np.mod(emb, q).astype(np.uint32)[None], s_plans[ch]
+                    )[0]
+                    prod = zq.np_mul_mod(crt, ys_crt[k_rel][ch], q)
+                    tgt[ch] = ((tgt[ch].astype(np.int64) + prod) % q).astype(
+                        np.uint32
+                    )
+            targets.append(tgt)
+
+        params_s = type(self.params)(
+            m=s_ctx.m, p=self.params.p, qs=qs, var=self.params.var
+        )
+        h0, h1 = _gen_gadget_hints(
+            params_s, s_ctx, sk_s.s_ints, np.stack(targets), key
+        )
+        hints = tuple(
+            _mk_ks_hint(params_s, s_ctx, h0[i], h1[i]) for i in range(d)
+        )
+        return she.TunnelHint(lin, RnsGad(), hints)
+
+
+# ---------------------------------------------------------------------------
+# hint-generation internals (host-exact targets + one-call device sampling)
+# ---------------------------------------------------------------------------
+
+
+def _s_crt_np(ctx, s_ints) -> np.ndarray:
+    """(nrns, n) CRT residues of integer coefficients — host numpy NTT
+    (2-power rings; no device dispatch)."""
+    from .ops import ntt as ntt_mod
+
+    plans = ctx.ntt_plans()
+    s = np.asarray(s_ints, dtype=np.int64)
+    return np.stack([
+        ntt_mod.np_ntt_forward(np.mod(s, p.q).astype(np.uint32)[None], p)[0]
+        for p in plans
+    ])
+
+
+def _cyc_crt_np(cyc) -> np.ndarray:
+    """Host CRT residues of a Cyc without eager device NTTs (2-power:
+    L == id so POW/DEC coefficients feed the numpy NTT directly)."""
+    from .cyc import Rep
+
+    ctx = cyc.ctx
+    if cyc.rep is Rep.CRT:
+        return np.asarray(cyc.data)
+    if not ctx.fm.is_pow2():
+        return np.asarray(cyc.to_crt().data)
+    from .ops import ntt as ntt_mod
+
+    coeffs = np.asarray(cyc.data)  # (nrns, n) residues
+    plans = ctx.ntt_plans()
+    return np.stack([
+        ntt_mod.np_ntt_forward(coeffs[i][None], plans[i])[0]
+        for i in range(len(plans))
+    ])
+
+
+def _monomial_mul_np(s: np.ndarray, p: int, n: int) -> np.ndarray:
+    """x^p * s(x) in Z[x]/(x^n + 1): negacyclic coefficient shift."""
+    out = np.empty(n, dtype=np.int64)
+    out[p:] = s[: n - p]
+    out[:p] = -s[n - p :]
+    return out
+
+
+def _mk_ks_hint(params, ctx, h0: np.ndarray, h1: np.ndarray) -> she.KSHint:
+    """(ell, nrns, n) component arrays -> she.KSHint of CRT Cycs."""
+    from .cyc import Cyc, Rep
+
+    ell = h0.shape[0]
+    return she.KSHint(
+        params, ctx, RnsGad(),
+        tuple(Cyc(ctx, Rep.CRT, h0[j]) for j in range(ell)),
+        tuple(Cyc(ctx, Rep.CRT, h1[j]) for j in range(ell)),
+    )
+
+
+def _gen_gadget_hints(params, ctx, s_ints, targets: np.ndarray, key):
+    """All RNS-gadget hints for a batch of targets in ONE jitted call.
+
+    targets: (T, nrns, n) u32, CRT domain.  For target t, digit j:
+      h0[t,j] = p*e_{t,j} + g_j*target_t - a_{t,j}*s,   h1[t,j] = a_{t,j}
+    with e fresh rounded gaussians (var) and a fresh uniforms, all in the
+    CRT domain over ctx.  Returns two (T, ell, nrns, n) numpy arrays.
+
+    The e-NTTs ride the XLA staged path at a tiny padded batch — no
+    extra Mosaic kernel variants are compiled for keygen."""
+    from .ops import ntt as ntt_mod
+
+    qs = ctx.basis.qs
+    nrns = len(qs)
+    ell = nrns
+    n = ctx.n
+    T = targets.shape[0]
+    L = T * ell
+    p = params.p
+    var = params.var
+    plans = ctx.ntt_plans()
+
+    g_rns = gd_gadget_rns(ctx.basis)  # (ell, nrns)
+    cols = np.arange(L)
+    jcol = cols % ell
+    tcol = cols // ell
+    # per-column gadget residue rows (1, L) per channel, + Shoup
+    gcol = np.stack([g_rns[jcol, i] for i in range(nrns)])  # (nrns, L)
+    gcol_sh = np.stack(
+        [zq.shoup_np(gcol[i], q) for i, q in enumerate(qs)]
+    )
+    s_crt = _s_crt_np(ctx, s_ints)  # (nrns, n)
+    s_sh = np.stack([zq.shoup_np(s_crt[i], q) for i, q in enumerate(qs)])
+
+    @jax.jit
+    def gen(targets_dev, key):
+        ke, *kas = jax.random.split(key, 1 + nrns)
+        e = jnp.round(
+            jax.random.normal(ke, (n, L), dtype=jnp.float32)
+            * np.sqrt(var)
+        ).astype(jnp.int32)
+        pe = p * e
+        # (T, nrns, n)[tcol] -> (L, nrns, n) -> (nrns, n, L)
+        tg = jnp.transpose(targets_dev[jnp.asarray(tcol)], (1, 2, 0))
+        h0, h1 = [], []
+        for i, q in enumerate(qs):
+            pe_res = jnp.mod(pe, q).astype(jnp.uint32)
+            pe_crt = jnp.moveaxis(
+                ntt_mod.ntt_forward_stages(
+                    jnp.moveaxis(pe_res, 0, -1), plans[i]
+                ), -1, 0,
+            )
+            a = jax.random.randint(kas[i], (n, L), 0, q, dtype=jnp.uint32)
+            gt = zq.mul_mod_shoup(
+                tg[i], jnp.asarray(gcol[i])[None, :],
+                jnp.asarray(gcol_sh[i])[None, :], q,
+            )
+            a_s = zq.mul_mod_shoup(
+                a, jnp.asarray(s_crt[i])[:, None],
+                jnp.asarray(s_sh[i])[:, None], q,
+            )
+            h0.append(zq.add_mod(pe_crt, zq.sub_mod(gt, a_s, q), q))
+            h1.append(a)
+        return jnp.stack(h0), jnp.stack(h1)  # (nrns, n, L)
+
+    h0, h1 = gen(jnp.asarray(targets), key)
+    h0 = np.asarray(h0)
+    h1 = np.asarray(h1)
+    # columns l = t*ell + j -> (T, ell, nrns, n)
+    out0 = np.transpose(h0.reshape(nrns, n, T, ell), (2, 3, 0, 1))
+    out1 = np.transpose(h1.reshape(nrns, n, T, ell), (2, 3, 0, 1))
+    return np.ascontiguousarray(out0), np.ascontiguousarray(out1)
+
+
+def gd_gadget_rns(basis) -> np.ndarray:
+    from . import gadget as gd
+
+    return gd.gadget_rns(RnsGad(), basis)

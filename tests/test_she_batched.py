@@ -211,3 +211,77 @@ def test_config5_scale_smoke(rng):
     ref = she.tunnel(th, bb2.unpack((e0, e1), f=f2)[0])
     np.testing.assert_array_equal(she.decrypt(sk_s, outs[0]),
                                   she.decrypt(sk_s, ref))
+
+
+def test_device_hint_gen_quad_linear_galois(rng):
+    """Device-generated hints (one-call keygen) are functionally
+    interchangeable with the object-path hints: keyswitched ciphertexts
+    decrypt correctly."""
+    key = jax.random.PRNGKey(70)
+    ks, ks2, kh, kl, kg, ke1, ke2 = jax.random.split(key, 7)
+    sk = she.gen_sk(PARAMS, ks)
+    bb = BatchedBGV(PARAMS)
+
+    # quad (relinearization): mul -> ks -> modswitch -> decrypt == product
+    hint = bb.gen_ks_quad_hint(sk, kh)
+    m1, m2 = she.pt_random(PARAMS, rng), she.pt_random(PARAMS, rng)
+    ct1, ct2 = she.encrypt(sk, m1, ke1), she.encrypt(sk, m2, ke2)
+    out = she.mod_switch(she.key_switch_quad_circ(hint, she.ct_mul(ct1, ct2)))
+    params2 = she.SHEParams(m=M, p=PARAMS.p, qs=QS[:-1], var=PARAMS.var)
+    sk2 = she.SK(params2, sk.s_ints, sk.var)
+    np.testing.assert_array_equal(she.decrypt(sk2, out),
+                                  she.pt_mul(PARAMS, m1, m2))
+    # and the batched step accepts the device hint
+    c0, c1 = bb.pack([ct1])
+    d0, d1 = bb.pack([ct2])
+    e0, e1 = bb.build_step(hint)(c0, c1, d0, d1)
+    f2 = nt.modinv(QS[-1] % PARAMS.p, PARAMS.p)
+    outs = BatchedBGV(params2).unpack((e0, e1), f=f2)
+    np.testing.assert_array_equal(she.decrypt(sk2, outs[0]),
+                                  she.pt_mul(PARAMS, m1, m2))
+
+    # linear: re-encrypt to a fresh key
+    sk_new = she.gen_sk(PARAMS, ks2)
+    lhint = bb.gen_ks_linear_hint(sk_new, sk, kl)
+    moved = she.key_switch_linear(lhint, ct1)
+    np.testing.assert_array_equal(she.decrypt(sk_new, moved),
+                                  np.asarray(m1) % PARAMS.p)
+
+    # galois: device hint decrypt == object hint decrypt (both sigma_k(m))
+    k = 3
+    ghint_dev = bb.gen_galois_hint(k, sk, kg)
+    ghint_obj = she.ks_galois_hint(k, sk, gd.RnsGad(), kg)
+    got = she.decrypt(sk, she.ct_galois(ghint_dev, k, ct1))
+    want = she.decrypt(sk, she.ct_galois(ghint_obj, k, ct1))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_device_tunnel_hint(rng):
+    """gen_tunnel_hint drives both she.tunnel and the fused device tunnel
+    to the same (correct) decryption as a host-generated hint."""
+    from lol_tpu import linear as lin
+    from lol_tpu.cyc import Cyc
+    from lol_tpu.ring import ring_context
+
+    me, mr, ms = 16, 64, 32
+    qs = tuple(nt.ntt_primes(64, 30, 3))
+    E, R, S = (ring_context(m, qs) for m in (me, mr, ms))
+    pr = she.SHEParams(m=mr, p=257, qs=qs, var=2.0)
+    ps = she.SHEParams(m=ms, p=257, qs=qs, var=2.0)
+    kr, ks_, kh, ke = jax.random.split(jax.random.PRNGKey(80), 4)
+    sk_r = she.gen_sk(pr, kr)
+    sk_s = she.gen_sk(ps, ks_)
+    ys = [Cyc.from_ints(S, rng.integers(-2, 3, S.n)) for _ in range(R.n // E.n)]
+    f = lin.linear_pow(E, R, S, ys)
+    bb = BatchedBGV(pr)
+    th_dev = bb.gen_tunnel_hint(f, sk_s, sk_r, kh)
+    th_obj = she.tunnel_hint(f, sk_s, sk_r, gd.RnsGad(), kh)
+    ct = she.encrypt(sk_r, she.pt_random(pr, rng), ke)
+    want = she.decrypt(sk_s, she.tunnel(th_obj, ct))
+    np.testing.assert_array_equal(
+        she.decrypt(sk_s, she.tunnel(th_dev, ct)), want
+    )
+    c0, c1 = bb.pack([ct])
+    e0, e1 = bb.build_tunnel(th_dev)(c0, c1)
+    outs = bb.target_pipeline(th_dev).unpack((e0, e1))
+    np.testing.assert_array_equal(she.decrypt(sk_s, outs[0]), want)
