@@ -103,6 +103,20 @@ def run(n: int = 4096, batch: int = 1024, nrns: int = 2, use_tpu=True):
     liftj = jax.jit(lambda v: ctx.basis.lift_mod_jnp(v, 257))
     add("liftDec mod p", "xla", _time(liftj, (xr,)))
 
+    # device-side keygen: all RNS-gadget hints for one target, one call
+    from .. import she
+    from ..she_batched import BatchedBGV
+
+    pars = she.SHEParams(m=2 * n, p=257, qs=tuple(qs), var=2.0)
+    sk = she.gen_sk(pars, jax.random.PRNGKey(1))
+    bbp = BatchedBGV(pars)
+    add(
+        "hintGen (quad)", "device",
+        _time(lambda k: bbp.gen_ks_quad_hint(sk, k),
+              (jax.random.PRNGKey(2),), iters=3),
+        count=1,
+    )
+
     # dense odd-axis DFT matvec (general-m CRT leg): VPU vs MXU paths
     from ..ops import general as gen
 

@@ -23,9 +23,10 @@ Design (TPU-first, tuned empirically on v5e):
   Window tS <= 512 keeps every in-kernel value <= 512x128 (256KB), so
   each call's scoped stack stays ~5MB no matter how large n is.  Two HBM
   round-trips total (vs one per stage on the XLA path).
-- Twiddles ride lane-replicated ((rows,1) columns would pad to 128 lanes
-  anyway) and carry Shoup companions; kernel-side broadcasts are
-  sublane-only (Mosaic has no combined sublane+lane broadcast).
+- Twiddles ride as compact (rows, 1) HBM columns with Shoup companions;
+  each kernel lane-broadcasts the slice it reads, then group expansion
+  is sublane-only (the two single-axis broadcasts are chained because
+  Mosaic has no combined sublane+lane broadcast of loaded values).
 - Arithmetic is the exact same `zq.mul_mod_shoup`/`add_mod`/`sub_mod`
   u32 code the XLA path uses, and the two-call split applies the *same*
   stage network, so results are bit-exact equal to the jnp/numpy paths.
@@ -45,6 +46,7 @@ from ... import zq
 from ..ntt import NTTPlan
 
 DEFAULT_LANES = 128
+TILE = 128  # native lane-tile width twiddle tables are shipped at
 WINDOW = 512  # max rows of any in-kernel value; tS = min(n, WINDOW)
 
 
@@ -252,20 +254,52 @@ def _scale_reduce(x, q, n_inv, n_inv_sh, lazy):
     return jnp.where(x >= jnp.uint32(q), x - jnp.uint32(q), x)
 
 
+def _redigit(x, q_src, q):
+    """RNS-gadget digit re-expansion: x holds residues in [0, q_src);
+    emit the centered representative's residue mod q (bit-identical to
+    she_batched.decompose_cm's per-channel arithmetic)."""
+    if q_src == q:
+        return x
+    r = zq.reduce_mod(x, q) if q_src > q else x
+    hi = x >= jnp.uint32((q_src + 1) // 2)
+    return jnp.where(hi, zq.sub_mod(r, jnp.uint32(q_src % q), q), r)
+
+
 def _kernel_cross(x_ref, w_ref, wsh_ref, o_ref, *, q, P, inverse, n_inv,
-                  n_inv_sh, rlog=1, lazy=False):
+                  n_inv_sh, rlog=1, lazy=False, pre_q=None):
     """Cross-block stages: block (P, G, lanes), NTT along axis 0.  The
     first S global stages use group indices < P, so the twiddle tables
     are just the plain DIT prefix psi_rev[:P].
+
+    Twiddles arrive one native tile wide ((P, 128), not (P, lanes) —
+    1/4 the table bytes at the 512-lane tile) and are widened here.
+
+    pre_q: if set, the input holds residues mod pre_q and the kernel
+    first applies the RNS-gadget digit re-expansion into this kernel's
+    channel (centered [x]_{pre_q} mod q) — fusing she_batched's
+    decompose into the digit NTT's first pass over the data.
 
     Lazy range discipline: the forward cross call is never last, so it
     may emit [0, 4q) values (the block kernel's u-fold and multiply
     accept them); the inverse cross call is always last, so it scales
     and fully reduces."""
     x = x_ref[...]
+    if pre_q is not None:
+        x = _redigit(x, pre_q, q)
+    lanes = x.shape[-1]
+    # tables arrive one native tile (128 lanes) wide; widen to the
+    # kernel's lane tile by static concatenation (a (rows, 1) operand
+    # block crashes this XLA version's lowering at lanes > 128, and a
+    # broadcast here would re-fold with _wb's sublane broadcast into the
+    # combined form Mosaic rejects)
+    w_full, wsh_full = (
+        jnp.concatenate([r[...]] * (lanes // r.shape[-1]), axis=-1)
+        if lanes > r.shape[-1] else r[...]
+        for r in (w_ref, wsh_ref)
+    )
 
     def read_w(lo, m):
-        return w_ref[lo : lo + m, :], wsh_ref[lo : lo + m, :]
+        return w_full[lo : lo + m], wsh_full[lo : lo + m]
 
     if inverse:
         x = _ntt_net_inv(x, q, P, read_w, rlog,
@@ -278,7 +312,7 @@ def _kernel_cross(x_ref, w_ref, wsh_ref, o_ref, *, q, P, inverse, n_inv,
 
 
 def _kernel_block(x_ref, w_ref, wsh_ref, o_ref, *, q, tS, inverse, n_inv,
-                  n_inv_sh, rlog=1, lazy=False):
+                  n_inv_sh, rlog=1, lazy=False, pre_q=None):
     """Within-block stages: block (1, tS, lanes), NTT along axis 1 with
     this block's private twiddle table.
 
@@ -287,11 +321,19 @@ def _kernel_block(x_ref, w_ref, wsh_ref, o_ref, *, q, tS, inverse, n_inv,
     last only when it owns the 1/n scale (S == 0), else it hands
     [0, 2q) values to the cross call."""
     x = x_ref[0]
-    w_all = w_ref[0]
-    wsh_all = wsh_ref[0]
+    if pre_q is not None:  # S == 0 forward path: digit prologue here
+        x = _redigit(x, pre_q, q)
+    lanes = x.shape[-1]
+    # widen this block's one-tile (tS, 128) table to the kernel's lane
+    # tile by static concatenation (see _kernel_cross)
+    w_full, wsh_full = (
+        jnp.concatenate([r[0]] * (lanes // r.shape[-1]), axis=-1)
+        if lanes > r.shape[-1] else r[0]
+        for r in (w_ref, wsh_ref)
+    )
 
     def read_w(lo, m):
-        return w_all[lo : lo + m, :], wsh_all[lo : lo + m, :]
+        return w_full[lo : lo + m], wsh_full[lo : lo + m]
 
     if inverse:
         x = _ntt_net_inv(x, q, tS, read_w, rlog,
@@ -313,8 +355,11 @@ def _kernel_block(x_ref, w_ref, wsh_ref, o_ref, *, q, tS, inverse, n_inv,
 
 @lru_cache(maxsize=512)
 def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
-           rlog: int = 1, lazy: bool = True):
-    """Jitted (n, B) -> (n, B) column-major negacyclic NTT."""
+           rlog: int = 1, lazy: bool = True, pre_q: int | None = None):
+    """Jitted (n, B) -> (n, B) column-major negacyclic NTT.
+
+    pre_q: fuse the RNS-gadget digit re-expansion from modulus pre_q
+    into the first forward kernel (see _redigit)."""
     n, q = plan.n, plan.q
     k, S, tS = _split(n)
     nblk = n // tS
@@ -324,18 +369,19 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
     src, src_sh = (
         (plan.ipsi_rev, plan.ipsi_rev_sh) if inverse else (plan.psi_rev, plan.psi_rev_sh)
     )
-    # Twiddle tables are kept COMPACT ((P,) and (nblk, tS) numpy) and
-    # lane-broadcast inside the jitted run():
-    #  - compact + numpy means the HLO embeds only ~64KB literals per
-    #    plan; materializing the (nblk, tS, lanes) lane replication here
-    #    made the fused n=2^14 BGV step carry ~0.5GB of inline constants
-    #    (closure constants are inlined into the serialized module) and
-    #    blow the remote-compile service's HTTP 413 limit;
-    #  - converting to jnp inside run() (per trace) also avoids the
-    #    lru-cache escaped-tracer hazard when this builder first fires
-    #    inside an outer jit trace (she_batched's fused step).
-    # XLA re-materializes the broadcast per call: ~64MB of HBM writes per
-    # plan per step, <3% of the step's NTT time at n=2^14, B=512.
+    # Twiddle tables stay COMPACT all the way into the kernels: (P, 1)
+    # and (nblk, tS, 1) columns in HBM, lane-broadcast per slice INSIDE
+    # the kernel (read_w).  Compact numpy closure constants keep the HLO
+    # at ~64KB of literals per plan (a materialized (nblk, tS, lanes)
+    # replication once made the fused n=2^14 step carry ~0.5GB of inline
+    # constants and blow the remote-compile service's HTTP 413 limit),
+    # and compact kernel OPERANDS avoid both the per-call XLA broadcast
+    # (64MB of HBM writes per plan per call at n=2^14) and the kernel
+    # re-reading lanes-wide tables per grid cell (~64MB per call — a
+    # third of the block call's traffic at B=1024).  jnp conversion
+    # happens inside run() (per trace) to dodge the lru-cache
+    # escaped-tracer hazard when the builder first fires inside an outer
+    # jit trace (she_batched's fused step).
     wA_np = np.ascontiguousarray(src[:P])
     wAs_np = np.ascontiguousarray(src_sh[:P])
     TB = _block_twiddles(plan, inverse)
@@ -351,6 +397,7 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
         kern = partial(
             _kernel_cross, q=q, P=P, inverse=inverse,
             n_inv=plan.n_inv, n_inv_sh=plan.n_inv_sh, rlog=rlog, lazy=lazy,
+            pre_q=pre_q,
         )
         return pl.pallas_call(
             kern,
@@ -359,9 +406,9 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
             in_specs=[
                 pl.BlockSpec((P, G, lanes), lambda i, j: (0, i, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, lanes), lambda i, j: (0, 0),
+                pl.BlockSpec((P, TILE), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, lanes), lambda i, j: (0, 0),
+                pl.BlockSpec((P, TILE), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((P, G, lanes), lambda i, j: (0, i, j),
@@ -379,7 +426,7 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
             _kernel_block, q=q, tS=tS, inverse=inverse,
             n_inv=plan.n_inv if scale_in_block else None,
             n_inv_sh=plan.n_inv_sh if scale_in_block else None, rlog=rlog,
-            lazy=lazy,
+            lazy=lazy, pre_q=pre_q if scale_in_block else None,
         )
         return pl.pallas_call(
             kern,
@@ -388,9 +435,9 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
             in_specs=[
                 pl.BlockSpec((1, tS, lanes), lambda b, j: (b, 0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tS, lanes), lambda b, j: (b, 0, 0),
+                pl.BlockSpec((1, tS, TILE), lambda b, j: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tS, lanes), lambda b, j: (b, 0, 0),
+                pl.BlockSpec((1, tS, TILE), lambda b, j: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, tS, lanes), lambda b, j: (b, 0, j),
@@ -405,13 +452,16 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
     @jax.jit
     def run(x):  # (n, B)
         B = x.shape[1]
-        wA = jnp.broadcast_to(jnp.asarray(wA_np)[:, None], (P, lanes))
-        wAs = jnp.broadcast_to(jnp.asarray(wAs_np)[:, None], (P, lanes))
+        # one native tile of lane replication (a 1-lane operand block
+        # crashes the lowering at lanes > 128); the kernels widen to the
+        # full lane tile by concatenation
+        wA = jnp.broadcast_to(jnp.asarray(wA_np)[:, None], (P, TILE))
+        wAs = jnp.broadcast_to(jnp.asarray(wAs_np)[:, None], (P, TILE))
         wB = jnp.broadcast_to(
-            jnp.asarray(TB_np)[:, :, None], (nblk, tS, lanes)
+            jnp.asarray(TB_np)[:, :, None], (nblk, tS, TILE)
         )
         wBs = jnp.broadcast_to(
-            jnp.asarray(TBs_np)[:, :, None], (nblk, tS, lanes)
+            jnp.asarray(TBs_np)[:, :, None], (nblk, tS, TILE)
         )
         if not inverse:
             if S > 0:
@@ -428,7 +478,7 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
 
 def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
            interpret: bool = False, radix: int | None = None,
-           lazy: bool = True):
+           lazy: bool = True, pre_digit_q: int | None = None):
     """Negacyclic NTT over axis 0 of a column-major (n, B) u32 array.
 
     B must be a multiple of `lanes`.  Defaults tuned on v5e at n=4096,
@@ -453,7 +503,10 @@ def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
     rlog = radix.bit_length() - 1
     if radix != 1 << rlog or rlog < 1:
         raise ValueError(f"ntt_cm: radix {radix} must be a power of 2 >= 2")
-    return _build(plan, inverse, lanes, interpret, rlog, lazy)(x)
+    if pre_digit_q is not None and inverse:
+        raise ValueError("ntt_cm: pre_digit_q is a forward-only prologue")
+    return _build(plan, inverse, lanes, interpret, rlog, lazy,
+                  pre_q=pre_digit_q)(x)
 
 
 def ntt_batched(x, plan: NTTPlan, inverse: bool = False, interpret: bool = False):

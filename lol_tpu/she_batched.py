@@ -218,6 +218,32 @@ class BatchedBGV:
         ]
         return jnp.stack(outs)
 
+    def _ntt_digit_fused(self, src_i, i, known_crt, plans, qs):
+        """Digit i's CRT stack straight from the coefficient-domain
+        channel src_i = iNTT(x)[i]: the re-expansion into channel j
+        (decompose_cm's arithmetic) runs as a prologue INSIDE channel
+        j's forward NTT kernel — the (ell-1) digit arrays per digit are
+        never materialized in HBM.  Channel i itself is known_crt[i]
+        (free diagonal)."""
+        from .ops import ntt as _ntt_mod
+        from .ops.pallas.ntt_kernel import _redigit
+
+        B = src_i.shape[-1]
+        use_pallas = self._pallas_ok(B)
+        outs = []
+        for j, plan in enumerate(plans):
+            if j == i:
+                outs.append(known_crt[j])
+            elif use_pallas:
+                outs.append(pk.ntt_cm(src_i, plan, pre_digit_q=qs[i]))
+            else:
+                r = _redigit(src_i, qs[i], plan.q)
+                outs.append(jnp.moveaxis(
+                    _ntt_mod.ntt_forward_stages(jnp.moveaxis(r, 0, -1), plan),
+                    -1, 0,
+                ))
+        return jnp.stack(outs)
+
     # --- batched encryption ------------------------------------------------
     def build_encrypt(self, sk: she.SK):
         """jit-compiled (msgs, key) -> (c0, c1): LSD-encrypt a batch.
@@ -359,12 +385,15 @@ class BatchedBGV:
             e0 = _mulmod_ch(qs, c0, d0)
             e1 = _addmod_ch(qs, _mulmod_ch(qs, c0, d1), _mulmod_ch(qs, c1, d0))
             e2 = _mulmod_ch(qs, c1, d1)
-            # key switch e2: coefficient-domain digits, NTT back, inner prod
+            # key switch e2: coefficient-domain digits, NTT back, inner
+            # prod; the digit re-expansion runs as an in-kernel prologue
+            # of each channel's forward NTT (no digit arrays in HBM)
             e2c = _gathered(self._ntt(e2, inverse=True))
-            digits = _channel_sharded(decompose_cm(qs, e2c))
             for i in range(nrns):
                 # digit i's channel i is e2c[i] itself -> its NTT is e2[i]
-                di = self._ntt_digit(digits[i], i, e2, plans)
+                di = _channel_sharded(
+                    self._ntt_digit_fused(e2c[i], i, e2, plans, qs)
+                )
                 e0 = _addmod_ch(qs, e0, _mulmod_sh_ch(qs, di, h0[i], h0s[i]))
                 e1 = _addmod_ch(qs, e1, _mulmod_sh_ch(qs, di, h1[i], h1s[i]))
             return rescale_crt(e0), rescale_crt(e1)
@@ -392,11 +421,10 @@ class BatchedBGV:
             c0k = c0[:, perm, :]
             c1k = c1[:, perm, :]
             c1c = self._ntt(c1k, inverse=True)
-            digits = decompose_cm(qs, c1c)
             plans = self.plans()
             e0, e1 = c0k, jnp.zeros_like(c1k)
             for i in range(nrns):
-                di = self._ntt_digit(digits[i], i, c1k, plans)
+                di = self._ntt_digit_fused(c1c[i], i, c1k, plans, qs)
                 e0 = _addmod_ch(qs, e0, _mulmod_sh_ch(qs, di, h0[i], h0s[i]))
                 e1 = _addmod_ch(qs, e1, _mulmod_sh_ch(qs, di, h1[i], h1s[i]))
             return e0, e1
