@@ -365,6 +365,9 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
     nblk = n // tS
     P = 1 << S
     G = max(1, WINDOW // P)
+    # twiddle tables ship at one native tile — or narrower, matching the
+    # data, when the caller runs a sub-tile lane count (ADVICE r2)
+    W = min(TILE, lanes)
 
     src, src_sh = (
         (plan.ipsi_rev, plan.ipsi_rev_sh) if inverse else (plan.psi_rev, plan.psi_rev_sh)
@@ -406,9 +409,9 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
             in_specs=[
                 pl.BlockSpec((P, G, lanes), lambda i, j: (0, i, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, TILE), lambda i, j: (0, 0),
+                pl.BlockSpec((P, W), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, TILE), lambda i, j: (0, 0),
+                pl.BlockSpec((P, W), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((P, G, lanes), lambda i, j: (0, i, j),
@@ -435,9 +438,9 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
             in_specs=[
                 pl.BlockSpec((1, tS, lanes), lambda b, j: (b, 0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tS, TILE), lambda b, j: (b, 0, 0),
+                pl.BlockSpec((1, tS, W), lambda b, j: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tS, TILE), lambda b, j: (b, 0, 0),
+                pl.BlockSpec((1, tS, W), lambda b, j: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, tS, lanes), lambda b, j: (b, 0, j),
@@ -455,13 +458,13 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
         # one native tile of lane replication (a 1-lane operand block
         # crashes the lowering at lanes > 128); the kernels widen to the
         # full lane tile by concatenation
-        wA = jnp.broadcast_to(jnp.asarray(wA_np)[:, None], (P, TILE))
-        wAs = jnp.broadcast_to(jnp.asarray(wAs_np)[:, None], (P, TILE))
+        wA = jnp.broadcast_to(jnp.asarray(wA_np)[:, None], (P, W))
+        wAs = jnp.broadcast_to(jnp.asarray(wAs_np)[:, None], (P, W))
         wB = jnp.broadcast_to(
-            jnp.asarray(TB_np)[:, :, None], (nblk, tS, TILE)
+            jnp.asarray(TB_np)[:, :, None], (nblk, tS, W)
         )
         wBs = jnp.broadcast_to(
-            jnp.asarray(TBs_np)[:, :, None], (nblk, tS, TILE)
+            jnp.asarray(TBs_np)[:, :, None], (nblk, tS, W)
         )
         if not inverse:
             if S > 0:

