@@ -149,6 +149,23 @@ class RnsBasis:
             digits.append(t)
         return jnp.stack(digits, axis=-2)
 
+    def pos_mod_jnp(self, a, p: int) -> jnp.ndarray:
+        """[x]_p for the canonical representative x in [0, Q) of
+        (..., nrns, n) residues, fully on device: Horner over the Garner
+        mixed-radix digits (no centering — the building block of
+        lift_mod_jnp and of the MSD scaled-rounding decrypt)."""
+        v = self.to_mixed_radix_jnp(a)
+        return self._horner_mod(v, p)
+
+    def _horner_mod(self, v, p: int) -> jnp.ndarray:
+        qs = self.qs
+        L = self.nrns
+        acc = zq.reduce_mod(v[..., L - 1, :], p)
+        for j in range(L - 2, -1, -1):
+            acc = zq.mul_mod(acc, jnp.uint32(qs[j] % p), p)
+            acc = zq.add_mod(acc, zq.reduce_mod(v[..., j, :], p), p)
+        return acc
+
     def lift_mod_jnp(self, a, p: int) -> jnp.ndarray:
         """Centered lift reduced mod p, fully on device (VERDICT r1 #4):
         (..., nrns, n) residues -> (..., n) uint32 values of
@@ -160,10 +177,7 @@ class RnsBasis:
         v = self.to_mixed_radix_jnp(a)
         qs = self.qs
         L = self.nrns
-        acc = zq.reduce_mod(v[..., L - 1, :], p)
-        for j in range(L - 2, -1, -1):
-            acc = zq.mul_mod(acc, jnp.uint32(qs[j] % p), p)
-            acc = zq.add_mod(acc, zq.reduce_mod(v[..., j, :], p), p)
+        acc = self._horner_mod(v, p)
         # mixed-radix digits of the centering threshold T = (Q+1)//2
         T = (self.modulus + 1) // 2
         tdig = []

@@ -54,6 +54,12 @@ from .ops.pallas import ntt_kernel as pk
 # ---------------------------------------------------------------------------
 
 
+def _check_encoding(encoding: str) -> str:
+    if encoding not in ("lsd", "msd"):
+        raise ValueError(f"encoding must be 'lsd' or 'msd', got {encoding!r}")
+    return encoding
+
+
 def _mulmod_ch(qs, a, b):
     return jnp.stack([zq.mul_mod(a[i], b[i], q) for i, q in enumerate(qs)])
 
@@ -245,17 +251,22 @@ class BatchedBGV:
         return jnp.stack(outs)
 
     # --- batched encryption ------------------------------------------------
-    def build_encrypt(self, sk: she.SK):
-        """jit-compiled (msgs, key) -> (c0, c1): LSD-encrypt a batch.
+    def build_encrypt(self, sk: she.SK, encoding: str = "lsd"):
+        """jit-compiled (msgs, key) -> (c0, c1): encrypt a batch.
 
         msgs: (n, B) int32 decoding-basis coefficients mod p (column-major
         like everything else here); key: jax PRNG key.  Same scheme as
-        she.encrypt (c1 uniform in CRT, c0 = NTT(m + p e) - c1 * s)."""
+        she.encrypt (c1 uniform in CRT, c0 = NTT(m + p e) - c1 * s) /
+        she.encrypt_msd (c0 = NTT(Delta*m + e) - c1 * s, Delta = Q//p,
+        entering per channel as the precomputed residue Delta mod q_i)."""
         qs = self.qs
         p = self.params.p
         n = self.ctx.n
         var = self.params.var
+        msd = _check_encoding(encoding) == "msd"
         s_crt, s_sh = _crt_const_sh(she.Cyc.from_ints(self.ctx, sk.s_ints), qs)
+        delta = self.ctx.basis.modulus // p
+        d_res = [(delta % q, zq.shoup(delta % q, q)) for q in qs]
 
         @jax.jit
         def enc(msgs, key):
@@ -265,10 +276,22 @@ class BatchedBGV:
                 jax.random.normal(k_e, (n, B), dtype=jnp.float32)
                 * jnp.sqrt(jnp.float32(var))
             ).astype(jnp.int32)
-            me = msgs.astype(jnp.int32) + p * e
-            me_res = jnp.stack(
-                [jnp.mod(me, q).astype(jnp.uint32) for q in qs]
-            )
+            if msd:
+                me_res = []
+                for i, q in enumerate(qs):
+                    dm = zq.mul_mod_shoup(
+                        msgs.astype(jnp.uint32), jnp.uint32(d_res[i][0]),
+                        jnp.uint32(d_res[i][1]), q,
+                    )
+                    me_res.append(
+                        zq.add_mod(dm, jnp.mod(e, q).astype(jnp.uint32), q)
+                    )
+                me_res = jnp.stack(me_res)
+            else:
+                me = msgs.astype(jnp.int32) + p * e
+                me_res = jnp.stack(
+                    [jnp.mod(me, q).astype(jnp.uint32) for q in qs]
+                )
             me_crt = self._ntt(me_res)
             c1 = jnp.stack(
                 [
@@ -282,43 +305,210 @@ class BatchedBGV:
         return enc
 
     # --- batched decryption (device-side liftDec; SURVEY §4.3) -------------
-    def build_decrypt(self, sk: she.SK, f: int = 1):
+    def build_decrypt(self, sk: she.SK, f: int = 1, encoding: str = "lsd"):
         """jit-compiled (c0, c1) -> (n, B) int32 messages mod p.
 
         c(s) = c0 + c1 s as a CRT Hadamard, one inverse NTT, then the
-        Garner mixed-radix centered lift reduced mod p ON DEVICE
-        (rns.RnsBasis.lift_mod_jnp) — replacing the per-coefficient
-        Python object-int CRT of the object path (VERDICT r1 #4).
-        LSD only (f is the tracked scale; MSD decrypt needs the big-int
-        rounding and stays on the host path)."""
+        device lift (VERDICT r1 #4 / r2 #3):
+
+        LSD: Garner mixed-radix centered lift reduced mod p
+        (rns.RnsBasis.lift_mod_jnp) — the reference's liftDec.
+
+        MSD: exact round-half-up of (p/Q)*lift WITHOUT big ints: with
+        x in [0, Q) the canonical residue representative and Q odd,
+          round_hu(p*x/Q) = floor((p*x + (Q-1)/2) / Q)
+                          = (u - [u]_Q) / Q      for u = p*x + (Q-1)/2,
+        so mod p:  m = ([u]_p - [u mod Q]_p) * Q^{-1}  (mod p), where
+        u mod Q's residues are just u's channel residues and [.]_p comes
+        from the same Garner-digit Horner as the LSD lift (pos_mod_jnp).
+        Centering is free: x -> x - Q shifts the quotient by exactly -p.
+        Bit-exact vs she.decrypt's object-int (2*d*p + Q) // (2*Q)."""
         qs = self.qs
         p = self.params.p
         basis = self.ctx.basis
+        msd = _check_encoding(encoding) == "msd"
         s_crt, s_sh = _crt_const_sh(she.Cyc.from_ints(self.ctx, sk.s_ints), qs)
         finv = nt.modinv(f % p, p)
+        Q = basis.modulus
+        half = (Q - 1) // 2
+        # per-channel constants of u = p*x + half (+ Shoup for the p mult)
+        u_consts = [
+            (p % q, zq.shoup(p % q, q), half % q) for q in qs
+        ]
+        qinv_p = nt.modinv(Q % p, p)
+        half_p = half % p
 
         @jax.jit
         def dec(c0, c1):
             cs = _addmod_ch(qs, c0, _mulmod_sh_ch(qs, c1, s_crt, s_sh))
             coeff = self._ntt(cs, inverse=True)  # (nrns, n, B) POW/DEC
-            # lift_mod_jnp wants rns at axis -2: (n, nrns, B) view
-            lifted = basis.lift_mod_jnp(jnp.moveaxis(coeff, 0, 1), p)
-            return zq.mul_mod(lifted, jnp.uint32(finv), p).astype(jnp.int32)
+            if not msd:
+                # lift_mod_jnp wants rns at axis -2: (n, nrns, B) view
+                lifted = basis.lift_mod_jnp(jnp.moveaxis(coeff, 0, 1), p)
+                return zq.mul_mod(lifted, jnp.uint32(finv), p).astype(jnp.int32)
+            u = jnp.stack([
+                zq.add_mod(
+                    zq.mul_mod_shoup(
+                        coeff[i], jnp.uint32(pc), jnp.uint32(psh), q
+                    ),
+                    jnp.uint32(hc), q,
+                )
+                for i, (q, (pc, psh, hc)) in enumerate(zip(qs, u_consts))
+            ])
+            rem_p = basis.pos_mod_jnp(jnp.moveaxis(u, 0, 1), p)
+            m = zq.mul_mod(
+                zq.sub_mod(jnp.uint32(half_p), rem_p, p),
+                jnp.uint32(qinv_p), p,
+            )
+            return zq.mul_mod(m, jnp.uint32(finv), p).astype(jnp.int32)
 
         return dec
 
+    # --- batched noise extraction (SURVEY §4.3/§5; VERDICT r2 #6) ----------
+    def build_error_term(self, sk: she.SK):
+        """jit-compiled (c0, c1) -> (nrns, n, B) RNS residues of the LSD
+        noise e = (lift(c(s)) - centered [c(s)]_p) / p (she.error_term,
+        channel-wise: e_i = (d_i - [mu]_{q_i}) * p^{-1} mod q_i with mu
+        the device centered lift mod p) — noise-budget tracking at batch
+        scale without any host big-int loop."""
+        qs = self.qs
+        p = self.params.p
+        basis = self.ctx.basis
+        s_crt, s_sh = _crt_const_sh(she.Cyc.from_ints(self.ctx, sk.s_ints), qs)
+        pinvs = [(nt.modinv(p % q, q), zq.shoup(nt.modinv(p % q, q), q))
+                 for q in qs]
+
+        @jax.jit
+        def err(c0, c1):
+            cs = _addmod_ch(qs, c0, _mulmod_sh_ch(qs, c1, s_crt, s_sh))
+            d = self._ntt(cs, inverse=True)  # (nrns, n, B)
+            mu = basis.lift_mod_jnp(jnp.moveaxis(d, 0, 1), p)  # [d]_p in [0,p)
+            hi = mu >= jnp.uint32((p + 1) // 2)
+            chans = []
+            for i, q in enumerate(qs):
+                mi = zq.reduce_mod(mu, q) if p > q else mu
+                mi = jnp.where(hi, zq.sub_mod(mi, jnp.uint32(p % q), q), mi)
+                ei = zq.sub_mod(d[i], mi, q)
+                chans.append(zq.mul_mod_shoup(
+                    ei, jnp.uint32(pinvs[i][0]), jnp.uint32(pinvs[i][1]), q
+                ))
+            return jnp.stack(chans)
+
+        return err
+
+    def build_noise_bits(self, sk: she.SK):
+        """jit-compiled (c0, c1) -> (B,) float32 noise budgets:
+        log2(max_coeff |e|) per ciphertext (she.noise_bits, batched).
+
+        |e| = min(x, Q - x) over the canonical representative x of e,
+        both magnitudes assembled in float32 from the Garner mixed-radix
+        digits (each a non-negative digit-weight sum — no cancellation,
+        so the relative error is ~2^-20: log2 values match the host
+        path to ~1e-5, asserted by the cross test)."""
+        qs = self.qs
+        basis = self.ctx.basis
+        err = self.build_error_term(sk)
+        Q = basis.modulus
+        shift = max(0, Q.bit_length() - 100)  # keep float32 in range
+        ws = []
+        W = 1
+        for q in qs:
+            ws.append(float(W) / float(2 ** shift))
+            W *= q
+
+        def mag(v):  # (n, nrns, B) digits -> (n, B) scaled magnitude
+            acc = v[:, 0, :].astype(jnp.float32) * jnp.float32(ws[0])
+            for j in range(1, len(qs)):
+                acc = acc + v[:, j, :].astype(jnp.float32) * jnp.float32(ws[j])
+            return acc
+
+        @jax.jit
+        def bits(c0, c1):
+            e = err(c0, c1)
+            neg = jnp.stack([zq.neg_mod(e[i], q) for i, q in enumerate(qs)])
+            m_pos = mag(basis.to_mixed_radix_jnp(jnp.moveaxis(e, 0, 1)))
+            m_neg = mag(basis.to_mixed_radix_jnp(jnp.moveaxis(neg, 0, 1)))
+            mx = jnp.max(jnp.minimum(m_pos, m_neg), axis=0)  # (B,)
+            return jnp.where(
+                mx > 0, jnp.log2(mx) + jnp.float32(shift), jnp.float32(0)
+            )
+
+        return bits
+
+    # --- batched encoding switches (she.to_lsd / she.to_msd) ---------------
+    def build_to_lsd(self):
+        """jit-compiled (c0, c1) -> (c0', c1'): MSD -> LSD, components
+        scaled by p (she.to_lsd); track f with `to_lsd_f`."""
+        return self._build_scale_components(self.params.p % self.ctx.basis.modulus)
+
+    def build_to_msd(self):
+        """jit-compiled (c0, c1) -> (c0', c1'): LSD -> MSD, components
+        scaled by p^{-1} mod Q (she.to_msd); track f with `to_msd_f`."""
+        return self._build_scale_components(
+            nt.modinv(self.params.p % self.ctx.basis.modulus,
+                      self.ctx.basis.modulus)
+        )
+
+    def _build_scale_components(self, c: int):
+        qs = self.qs
+        consts = [(c % q, zq.shoup(c % q, q)) for q in qs]
+
+        @jax.jit
+        def scale(c0, c1):
+            def one(x):
+                return jnp.stack([
+                    zq.mul_mod_shoup(
+                        x[i], jnp.uint32(cc), jnp.uint32(sh), q
+                    )
+                    for i, (q, (cc, sh)) in enumerate(zip(qs, consts))
+                ])
+            return one(c0), one(c1)
+
+        return scale
+
+    def to_lsd_f(self, f: int) -> int:
+        """Scale-factor update matching build_to_lsd (she.to_lsd)."""
+        p = self.params.p
+        return f * ((-self.ctx.basis.modulus) % p) % p
+
+    def to_msd_f(self, f: int) -> int:
+        """Scale-factor update matching build_to_msd (she.to_msd)."""
+        p = self.params.p
+        return f * ((-nt.modinv(self.ctx.basis.modulus % p, p)) % p) % p
+
+    def step_f(self, fc: int, fd: int, encoding: str = "lsd") -> int:
+        """Output scale factor of build_step for input scales fc, fd.
+
+        LSD: the rescale multiplies by q_last^{-1} mod p.  MSD: the
+        second operand is toLSD'd inside the step (factor (-Q) mod p)
+        and the MSD rescale leaves f unchanged (she.ct_mul/mod_switch)."""
+        p = self.params.p
+        if _check_encoding(encoding) == "msd":
+            return self.to_lsd_f(fc * fd % p)
+        return fc * fd * nt.modinv(self.qs[-1] % p, p) % p
+
     # --- the fused mul+keyswitch+rescale step -------------------------------
-    def build_step(self, hint: she.KSHint, mesh=None):
+    def build_step(self, hint: she.KSHint, mesh=None, encoding: str = "lsd"):
         """jit-compiled (c0,c1,d0,d1) -> (e0,e1) over the dropped-prime
         chain: ct_mul + keySwitchQuadCirc + modSwitch.
 
         mesh: optional Mesh with 'rns'/'data' axes — makes the digit
-        broadcast an explicit all-gather over 'rns' (module docstring)."""
+        broadcast an explicit all-gather over 'rns' (module docstring).
+
+        encoding (VERDICT r2 #3): "lsd" keeps the f*m + p*e invariant
+        (rescale carries the p-multiple correction and a q_last^{-1}
+        scale); "msd" mirrors she.ct_mul's MSD*MSD handling — the second
+        operand is toLSD'd in-kernel (components scaled by p) so the
+        product is exactly MSD, and the rescale is the plain
+        round-to-nearest division by q_last (Delta scales with Q, f
+        fixed).  Track scales with `step_f(fc, fd, encoding)`."""
         if not isinstance(hint.spec, RnsGad):
             raise ValueError("batched pipeline uses the RNS gadget")
         qs = self.qs
         nrns = len(qs)
         p = self.params.p
+        msd = _check_encoding(encoding) == "msd"
+        p_consts = [(p % q, zq.shoup(p % q, q)) for q in qs]
         # hint components as (ell=nrns, nrns, n, 1) constants (+ Shoup)
         h0, h0s = _hint_const_sh(hint.h0, qs)
         h1, h1s = _hint_const_sh(hint.h1, qs)
@@ -347,17 +537,21 @@ class BatchedBGV:
 
         def rescale_crt(comp):
             """Exact BGV drop-last rescale computed IN the CRT domain:
-            only the dropped channel is inverse-transformed; the p-multiple
-            correction polynomial delta is forward-transformed into each
-            surviving channel (every op is a ring hom mod q_i, so the
-            result is bit-identical to iNTT -> coeff rescale -> NTT, at
-            nrns transforms instead of 2*nrns - 1).  All scalar constants
-            carry Shoup companions."""
+            only the dropped channel is inverse-transformed; the
+            correction polynomial delta (p * centered [c p^-1]_{ql} for
+            LSD, plain centered [c]_{ql} for MSD round-to-nearest) is
+            forward-transformed into each surviving channel (every op is
+            a ring hom mod q_i, so the result is bit-identical to
+            iNTT -> coeff rescale -> NTT, at nrns transforms instead of
+            2*nrns - 1).  All scalar constants carry Shoup companions."""
             last_c = self._ntt_one(comp[-1], plans[-1], inverse=True)
-            v = zq.mul_mod_shoup(
-                last_c, jnp.uint32(pinv_l),
-                jnp.uint32(zq.shoup(pinv_l, ql)), ql,
-            )
+            if msd:
+                v = last_c
+            else:
+                v = zq.mul_mod_shoup(
+                    last_c, jnp.uint32(pinv_l),
+                    jnp.uint32(zq.shoup(pinv_l, ql)), ql,
+                )
             v = _gathered(v)
             is_high = v >= jnp.uint32((ql + 1) // 2)
             chans = []
@@ -367,7 +561,7 @@ class BatchedBGV:
                 vi = jnp.where(
                     is_high, zq.sub_mod(vi, jnp.uint32(ql % qi), qi), vi
                 )
-                delta = zq.mul_mod_shoup(
+                delta = vi if msd else zq.mul_mod_shoup(
                     vi, jnp.uint32(p % qi),
                     jnp.uint32(zq.shoup(p % qi, qi)), qi,
                 )
@@ -380,6 +574,16 @@ class BatchedBGV:
 
         @jax.jit
         def step(c0, c1, d0, d1):
+            if msd:  # toLSD the second operand: components scaled by p
+                d0, d1 = (
+                    jnp.stack([
+                        zq.mul_mod_shoup(
+                            x[i], jnp.uint32(pc), jnp.uint32(sh), q
+                        )
+                        for i, (q, (pc, sh)) in enumerate(zip(qs, p_consts))
+                    ])
+                    for x in (d0, d1)
+                )
             # ct_mul: (c0 + c1 s)(d0 + d1 s): e0 = c0 d0, e1 = c0 d1 + c1 d0,
             # e2 = c1 d1 — all CRT Hadamards
             e0 = _mulmod_ch(qs, c0, d0)

@@ -213,6 +213,161 @@ def test_config5_scale_smoke(rng):
                                   she.decrypt(sk_s, ref))
 
 
+def test_batched_msd_encrypt_decrypt(rng):
+    """MSD through the serving path (VERDICT r2 #3): batched MSD encrypt
+    -> device MSD decrypt (Garner-digit scaled rounding, no big ints) ==
+    host she.decrypt, and roundtrips the messages."""
+    import jax.numpy as jnp
+
+    sk = she.gen_sk(PARAMS, jax.random.PRNGKey(90))
+    bb = BatchedBGV(PARAMS)
+    enc = bb.build_encrypt(sk, encoding="msd")
+    dec = bb.build_decrypt(sk, encoding="msd")
+    B = 5
+    msgs = rng.integers(0, PARAMS.p, (PARAMS.ctx.n, B)).astype(np.int32)
+    c0, c1 = enc(jnp.asarray(msgs), jax.random.PRNGKey(91))
+    np.testing.assert_array_equal(np.asarray(dec(c0, c1)), msgs)
+    # device MSD decrypt == host object path, column by column
+    cts = bb.unpack((c0, c1), encoding="msd")
+    for b in range(B):
+        np.testing.assert_array_equal(
+            np.asarray(dec(c0, c1))[:, b], she.decrypt(sk, cts[b])
+        )
+    # object-path MSD ciphertexts decrypt on device too (incl. f != 1)
+    ct = she.encrypt_msd(sk, msgs[:, 0], jax.random.PRNGKey(92))
+    ct3 = she.ct_add(ct, ct)
+    a0 = jnp.asarray(np.asarray(ct3.cs[0].to_crt().data)[..., None])
+    a1 = jnp.asarray(np.asarray(ct3.cs[1].to_crt().data)[..., None])
+    dec_f = bb.build_decrypt(sk, f=ct3.f, encoding="msd")
+    np.testing.assert_array_equal(
+        np.asarray(dec_f(a0, a1))[:, 0], she.decrypt(sk, ct3)
+    )
+
+
+def test_batched_msd_step_matches_object_path(rng):
+    """Fused MSD step == she.ct_mul(msd,msd) + keyswitch + mod_switch,
+    component-wise bit-exact; then a fused tunnel on the MSD output and
+    a device MSD decrypt close the loop (VERDICT r2 #3 'done' shape)."""
+    from lol_tpu import linear as lin
+    from lol_tpu.cyc import Cyc
+    from lol_tpu.ring import ring_context
+
+    key = jax.random.PRNGKey(95)
+    ks, kh, *kes = jax.random.split(key, 2 + 6)
+    sk = she.gen_sk(PARAMS, ks)
+    hint = she.ks_quad_circ_hint(sk, gd.RnsGad(), kh)
+    B = 3
+    cts_a, cts_b, msgs = [], [], []
+    for b in range(B):
+        m1, m2 = she.pt_random(PARAMS, rng), she.pt_random(PARAMS, rng)
+        cts_a.append(she.encrypt_msd(sk, m1, kes[2 * b]))
+        cts_b.append(she.encrypt_msd(sk, m2, kes[2 * b + 1]))
+        msgs.append((m1, m2))
+    bb = BatchedBGV(PARAMS)
+    c0, c1 = bb.pack(cts_a)
+    d0, d1 = bb.pack(cts_b)
+    e0, e1 = bb.build_step(hint, encoding="msd")(c0, c1, d0, d1)
+
+    params2 = she.SHEParams(m=M, p=PARAMS.p, qs=QS[:-1], var=PARAMS.var)
+    bb2 = BatchedBGV(params2)
+    f2 = bb.step_f(1, 1, encoding="msd")
+    outs = bb2.unpack((e0, e1), f=f2, encoding="msd")
+    sk2 = she.SK(params2, sk.s_ints, sk.var)
+    dec2 = bb2.build_decrypt(sk2, f=f2, encoding="msd")
+    got_dev = np.asarray(dec2(e0, e1))
+    for b in range(B):
+        ref = she.mod_switch(
+            she.key_switch_quad_circ(hint, she.ct_mul(cts_a[b], cts_b[b]))
+        )
+        assert ref.encoding == "msd" and outs[b].f == ref.f
+        for k in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(outs[b].cs[k].data),
+                np.asarray(ref.cs[k].to_crt().data),
+            )
+        m1, m2 = msgs[b]
+        want = she.pt_mul(PARAMS, m1, m2)
+        np.testing.assert_array_equal(she.decrypt(sk2, ref), want)
+        np.testing.assert_array_equal(got_dev[:, b], want)
+
+    # fused tunnel on the MSD step output (tunnel is encoding-agnostic)
+    ms = M // 2
+    E = S = ring_context(ms, QS[:-1])
+    R = ring_context(M, QS[:-1])
+    ps = she.SHEParams(m=ms, p=PARAMS.p, qs=QS[:-1], var=PARAMS.var)
+    sk_s = she.gen_sk(ps, jax.random.PRNGKey(96))
+    d = R.n // E.n
+    ys = [Cyc.zero(S) for _ in range(d)]
+    ys[0] = Cyc.scalar(S, 1)
+    fmap = lin.linear_pow(E, R, S, ys)
+    th = she.tunnel_hint(fmap, sk_s, sk2, gd.RnsGad(), jax.random.PRNGKey(97))
+    t0, t1 = bb2.build_tunnel(th)(e0, e1)
+    bb_s = bb2.target_pipeline(th)
+    out_t = bb_s.unpack((t0, t1), f=f2, encoding="msd")[0]
+    ref_t = she.tunnel(th, outs[0])
+    np.testing.assert_array_equal(she.decrypt(sk_s, out_t),
+                                  she.decrypt(sk_s, ref_t))
+    dec_s = bb_s.build_decrypt(sk_s, f=f2, encoding="msd")
+    np.testing.assert_array_equal(
+        np.asarray(dec_s(t0, t1))[:, 0], she.decrypt(sk_s, ref_t)
+    )
+
+
+def test_batched_encoding_switches(rng):
+    """build_to_lsd / build_to_msd match she.to_lsd / she.to_msd
+    component-wise, with the to_lsd_f / to_msd_f scale bookkeeping."""
+    import jax.numpy as jnp
+
+    sk = she.gen_sk(PARAMS, jax.random.PRNGKey(98))
+    bb = BatchedBGV(PARAMS)
+    m1 = she.pt_random(PARAMS, rng)
+    ct = she.encrypt_msd(sk, m1, jax.random.PRNGKey(99))
+    c0, c1 = bb.pack([ct])
+    l0, l1 = bb.build_to_lsd()(c0, c1)
+    ref = she.to_lsd(ct)
+    assert bb.to_lsd_f(ct.f) == ref.f
+    for got, comp in ((l0, 0), (l1, 1)):
+        np.testing.assert_array_equal(
+            np.asarray(got)[..., 0], np.asarray(ref.cs[comp].to_crt().data)
+        )
+    m0, m1c = bb.build_to_msd()(l0, l1)
+    ref2 = she.to_msd(ref)
+    assert bb.to_msd_f(ref.f) == ref2.f
+    for got, comp in ((m0, 0), (m1c, 1)):
+        np.testing.assert_array_equal(
+            np.asarray(got)[..., 0], np.asarray(ref2.cs[comp].to_crt().data)
+        )
+    # and the roundtripped ct still decrypts (device MSD decrypt)
+    dec = bb.build_decrypt(sk, f=ref2.f, encoding="msd")
+    np.testing.assert_array_equal(np.asarray(dec(m0, m1c))[:, 0],
+                                  she.decrypt(sk, ref2))
+
+
+def test_batched_noise_matches_host(rng):
+    """Device error_term residues == host she.error_term mod q_i exactly;
+    device noise_bits == host she.noise_bits to float32 accuracy
+    (VERDICT r2 #6)."""
+    sk = she.gen_sk(PARAMS, jax.random.PRNGKey(100))
+    bb = BatchedBGV(PARAMS)
+    B = 4
+    cts = [she.encrypt(sk, she.pt_random(PARAMS, rng),
+                       jax.random.PRNGKey(101 + b)) for b in range(B)]
+    # include a high-noise ct (post-mul, keyswitch) to vary magnitudes
+    hint = she.ks_quad_circ_hint(sk, gd.RnsGad(), jax.random.PRNGKey(110))
+    cts[-1] = she.key_switch_quad_circ(hint, she.ct_mul(cts[0], cts[1]))
+    c0, c1 = bb.pack(cts)
+    e_res = np.asarray(bb.build_error_term(sk)(c0, c1))
+    bits = np.asarray(bb.build_noise_bits(sk)(c0, c1))
+    for b in range(B):
+        e_host = she.error_term(sk, cts[b])  # object ints
+        for i, q in enumerate(QS):
+            want = np.array([int(v) % q for v in e_host], dtype=np.uint32)
+            np.testing.assert_array_equal(e_res[i, :, b], want)
+        np.testing.assert_allclose(
+            bits[b], she.noise_bits(sk, cts[b]), rtol=2e-5, atol=2e-5
+        )
+
+
 def test_device_hint_gen_quad_linear_galois(rng):
     """Device-generated hints (one-call keygen) are functionally
     interchangeable with the object-path hints: keyswitched ciphertexts
