@@ -48,7 +48,8 @@ def bench_ntt():
     on_tpu = device.platform == "tpu"
 
     def step(arrs):
-        return [pk.ntt_cm(a, p) for a, p in zip(arrs, plans)]
+        # interpret mode off-TPU so the dev smoke runs on plain CPU
+        return [pk.ntt_cm(a, p, interpret=not on_tpu) for a, p in zip(arrs, plans)]
 
     def measure(B, windows, iters):
         """k timed windows at batch B -> list of 60-bit-NTT/s rates."""
@@ -122,15 +123,16 @@ def _she_setup(m, nrns, p=257):
     return bb, sk, hint
 
 
-def bench_bgv(m, nrns, batch, iters):
+def bench_bgv(m, nrns, batch, iters, p=257):
     """BGV ct-mult + RNS-gadget keyswitch + exact rescale, ops/sec, with a
-    decrypt-correctness guard on column 0."""
+    decrypt-correctness guard on column 0.  Works for 2-power AND
+    composite m (the general-m fused pipeline)."""
     import jax
     import jax.numpy as jnp
 
     from lol_tpu import numtheory as nt, she
 
-    bb, sk, hint = _she_setup(m, nrns)
+    bb, sk, hint = _she_setup(m, nrns, p=p)
     params = bb.params
     n = params.ctx.n
     enc = bb.build_encrypt(sk)
@@ -228,6 +230,11 @@ def main():
     # the n=4096 pipeline (README's "~78k" claim), driver-verifiable
     m_4k = 8192 if on_tpu else 128
     _, bgv4k_rate = bench_bgv(m_4k, nrns=3, batch=batch, iters=iters)
+    # config-3 composite-m pipeline (m = 2^a * 3^b): the 2-axis rides the
+    # same Pallas kernels on a free reshape, the 3^2 axis a dense matvec
+    m_gen = 18432 if on_tpu else 72  # 2^11 * 3^2, phi = 6144
+    n_gen, bgv_gen_rate = bench_bgv(m_gen, nrns=3, batch=batch, iters=iters,
+                                    p=7)
     tunnel_rate = bench_tunnel(
         m_she, m_she // 2, nrns=3, batch=batch, iters=iters
     )
@@ -248,6 +255,9 @@ def main():
                 "bgv_n": n_bgv,
                 "bgv_rns": 3,
                 "bgv_n4096_ops_per_sec": round(bgv4k_rate),
+                "bgv_general_m_ops_per_sec": round(bgv_gen_rate),
+                "bgv_general_m": m_gen,
+                "bgv_general_n": n_gen,
                 "tunnel_ops_per_sec": round(tunnel_rate),
                 "tunnel_rings": f"m={m_she}->m={m_she // 2}",
             }

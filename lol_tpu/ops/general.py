@@ -290,6 +290,135 @@ def crt_inv(plan: GeneralPlan, x):
     return x
 
 
+# --- coefficient-major (n, B) forms for the batched serving pipeline -------
+#
+# she_batched keeps ciphertext components coefficient-major ((n, B), batch
+# along lanes).  For general m the flat coefficient axis is the row-major
+# flattening of phi_shape (primes ascending), so the 2-power axis — where
+# the work is — is axis 0 and (n2, rest*B) is a FREE reshape: it rides the
+# same fused Pallas negacyclic NTT as the 2-power pipeline (including the
+# pre_digit_q RNS-digit prologue), while the small odd dense axes ride
+# matvec_mod_jnp (MXU dispatch at phi >= 16).  (VERDICT r2 #4.)
+
+
+def crt_cm(plan: GeneralPlan, x, inverse: bool = False,
+           use_pallas: bool = False, pre_digit_q: int | None = None):
+    """(n, B) coefficient-major CRT / CRT^-1 for general m.
+
+    pre_digit_q: fuse the RNS-gadget digit re-expansion (elementwise, so
+    it runs before ANY axis transform) — inside the 2-axis Pallas kernel
+    when one runs, as an explicit prologue otherwise.  Forward only."""
+    from .pallas import ntt_kernel as pk
+
+    if pre_digit_q is not None and inverse:
+        raise ValueError("crt_cm: pre_digit_q is a forward-only prologue")
+    n, B = x.shape
+    q = plan.q
+    shape = plan.phi_shape
+    axes = plan.axes
+    pre_handled = pre_digit_q is None
+    if axes and axes[0].ntt2 is not None:
+        n2 = shape[0]
+        rest = (n // n2) * B
+        x2 = x.reshape(n2, rest)
+        if use_pallas and rest % 128 == 0:
+            x2 = pk.ntt_cm(x2, axes[0].ntt2, inverse=inverse,
+                           pre_digit_q=pre_digit_q)
+            pre_handled = True
+        else:
+            if not pre_handled:
+                x2 = pk._redigit(x2, pre_digit_q, q)
+                pre_handled = True
+            fn = ntt.ntt_inverse_stages if inverse else ntt.ntt_forward_stages
+            x2 = jnp.moveaxis(fn(jnp.moveaxis(x2, 0, -1), axes[0].ntt2), -1, 0)
+        x = x2.reshape(n, B)
+    if not pre_handled:
+        x = pk._redigit(x, pre_digit_q, q)
+    xs = x.reshape(*shape, B)
+    for i, ax in enumerate(axes):
+        if ax.ntt2 is not None or ax.phi == 1:
+            continue
+        M = ax.Minv if inverse else ax.M
+        xs = jnp.moveaxis(xs, i, -1)
+        xs = matvec_mod_jnp(jnp.asarray(M), xs, q)
+        xs = jnp.moveaxis(xs, -1, i)
+    return xs.reshape(n, B)
+
+
+def l_cm(plan: GeneralPlan, x, inverse: bool = False):
+    """(n, B) coefficient-major L / L^-1 (dec <-> pow basis change)."""
+    n, B = x.shape
+    xs = x.reshape(*plan.phi_shape, B)
+    for i, ax in enumerate(plan.axes):
+        if ax.pp.p == 2 or ax.phi == 1:
+            continue
+        xs = jnp.moveaxis(xs, i, -1)
+        xs = _l_axis(xs, ax.pp, plan.q, inverse)
+        xs = jnp.moveaxis(xs, -1, i)
+    return xs.reshape(n, B)
+
+
+# --- exact numpy mirrors (oracle / host keygen) ----------------------------
+
+
+def _np_apply_axis(plan: GeneralPlan, x: np.ndarray, i: int, fn) -> np.ndarray:
+    shape = x.shape
+    batch = shape[:-1]
+    xs = x.reshape(*batch, *plan.phi_shape)
+    ax = len(batch) + i
+    xs = np.moveaxis(xs, ax, -1)
+    xs = fn(xs)
+    xs = np.moveaxis(xs, -1, ax)
+    return xs.reshape(*shape)
+
+
+def _np_l_axis(v: np.ndarray, pp: PrimePower, q: int, inverse: bool) -> np.ndarray:
+    """numpy mirror of _l_axis (prefix sums / differences, prime level)."""
+    p, e = pp.p, pp.e
+    lead = v.shape[:-1]
+    vs = v.astype(np.int64).reshape(*lead, p - 1, p ** (e - 1))
+    if not inverse:
+        out = np.cumsum(vs, axis=-2) % q
+    else:
+        out = np.diff(vs, axis=-2, prepend=0) % q
+    return out.reshape(*lead, pp.phi).astype(np.uint32)
+
+
+def np_l(plan: GeneralPlan, x: np.ndarray, inverse: bool = False) -> np.ndarray:
+    """Exact numpy mirror of l/l_inv over (..., n) uint32 arrays."""
+    for i, ax in enumerate(plan.axes):
+        if ax.pp.p == 2 or ax.phi == 1:
+            continue
+        x = _np_apply_axis(
+            plan, x, i, lambda v, a=ax: _np_l_axis(v, a.pp, plan.q, inverse)
+        )
+    return x
+
+
+def np_crt(plan: GeneralPlan, x: np.ndarray, inverse: bool = False) -> np.ndarray:
+    """Exact numpy mirror of crt/crt_inv over (..., n) uint32 arrays."""
+    q = plan.q
+
+    def dense(M):
+        def f(v):  # (..., b) -> (..., a)
+            b = v.shape[-1]
+            flat = np.moveaxis(v.reshape(-1, b), -1, 0)  # (b, N)
+            out = zq.np_matvec_mod(M, flat, q).astype(np.uint32)  # (a, N)
+            return np.moveaxis(out, 0, -1).reshape(*v.shape[:-1], M.shape[0])
+        return f
+
+    for i, ax in enumerate(plan.axes):
+        if ax.phi == 1:
+            continue
+        if ax.ntt2 is not None:
+            fn = ntt.np_ntt_inverse if inverse else ntt.np_ntt_forward
+            x = _np_apply_axis(plan, x, i, lambda v, p=ax.ntt2, f=fn: f(v, p))
+        else:
+            M = ax.Minv if inverse else ax.M
+            x = _np_apply_axis(plan, x, i, dense(M))
+    return x
+
+
 # --- L / L^-1 --------------------------------------------------------------
 
 

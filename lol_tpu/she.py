@@ -112,12 +112,26 @@ def pt_mul(params: SHEParams, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     a = np.asarray(a, dtype=np.int64) % p
     b = np.asarray(b, dtype=np.int64) % p
     if not params.ctx.fm.is_pow2():
-        aux_qs = _aux_chain(params.m, 2 * n * (p - 1) ** 2)
-        ctx = ring_context(params.m, aux_qs)
-        prod = (
-            Cyc.from_ints(ctx, a, rep=Rep.DEC) * Cyc.from_ints(ctx, b, rep=Rep.DEC)
-        ).lift_ints(rep=Rep.DEC)
-        return np.array([int(v) % p for v in prod], dtype=np.int64)
+        # numpy per-axis transforms over an aux chain sized to the exact
+        # DEC-coefficient product bound (the E-route bound of cyc.py)
+        from .ops import general as gen_mod
+
+        omega = sum(1 for pp in params.ctx.fm.pps if pp.p != 2)
+        bound = 2 * n * (p - 1) ** 2 << (omega + 1)
+        aux_qs = _aux_chain(params.m, bound)
+        res = []
+        for q in aux_qs:
+            gp = gen_mod.general_plan(params.m, q)
+            fa = gen_mod.np_crt(gp, gen_mod.np_l(
+                gp, np.mod(a, q).astype(np.uint32)[None]))
+            fb = gen_mod.np_crt(gp, gen_mod.np_l(
+                gp, np.mod(b, q).astype(np.uint32)[None]))
+            prod = (fa[0].astype(np.int64) * fb[0].astype(np.int64)) % q
+            res.append(gen_mod.np_l(
+                gp, gen_mod.np_crt(gp, prod[None].astype(np.uint32),
+                                   inverse=True), inverse=True)[0])
+        lifted = rns_mod.rns_basis(aux_qs).lift_centered(np.stack(res))
+        return (lifted % p).astype(np.int64)
     aux_qs = _aux_chain(2 * n, 2 * n * (p - 1) ** 2)
     res = []
     for q in aux_qs:

@@ -196,6 +196,11 @@ class BatchedBGV:
         return out
 
     # --- per-channel transforms --------------------------------------------
+    # 2-power m: the fused Pallas negacyclic NTT (or its bit-identical
+    # staged XLA mirror).  General m (VERDICT r2 #4): gen.crt_cm — the
+    # 2-axis still rides the same Pallas kernels on a free (n2, rest*B)
+    # reshape; odd dense axes ride matvec_mod_jnp (MXU at phi >= 16).
+
     def _ntt_one(self, x2d, plan, inverse=False):
         """(n, B) single-channel negacyclic NTT (Pallas or XLA path)."""
         from .ops import ntt as _ntt_mod
@@ -206,43 +211,65 @@ class BatchedBGV:
               else _ntt_mod.ntt_forward_stages)
         return jnp.moveaxis(fn(jnp.moveaxis(x2d, 0, -1), plan), -1, 0)
 
-    def _ntt(self, x, inverse=False, plans=None):
-        """(nrns, n, B) per-channel negacyclic NTT (Pallas or XLA path)."""
-        plans = plans if plans is not None else self.plans()
-        return jnp.stack(
-            [self._ntt_one(x[i], plans[i], inverse) for i in range(len(plans))]
+    def _crt_one(self, x2d, ch, inverse=False, ctx=None):
+        """(n, B) single-channel CRT transform of the given ring."""
+        ctx = ctx if ctx is not None else self.ctx
+        if ctx.fm.is_pow2():
+            return self._ntt_one(x2d, ctx.ntt_plans()[ch], inverse)
+        return gen.crt_cm(
+            ctx.general_plans()[ch], x2d, inverse=inverse,
+            use_pallas=self._pallas_ok(x2d.shape[-1]),
         )
 
-    def _ntt_digit(self, dig_i, i, known_crt, plans):
-        """Forward NTT of digit i's channel stack, reusing the identity
-        digit_i[channel i] == iNTT(known_crt)[i]: its transform IS
-        known_crt[i] (exact; iNTT then NTT round-trips bit-exactly), so
-        1/nrns of the keyswitch digit NTTs are free."""
-        outs = [
-            known_crt[j] if j == i else self._ntt_one(dig_i[j], plans[j])
-            for j in range(len(plans))
-        ]
-        return jnp.stack(outs)
+    def _ntt(self, x, inverse=False, ctx=None):
+        """(nrns, n, B) per-channel CRT transform (name kept from the
+        2-power-only pipeline; dispatches per ring)."""
+        return jnp.stack(
+            [self._crt_one(x[i], i, inverse, ctx=ctx)
+             for i in range(x.shape[0])]
+        )
 
-    def _ntt_digit_fused(self, src_i, i, known_crt, plans, qs):
+    def _l(self, x, inverse=False):
+        """(nrns, n, B) per-channel L / L^-1 (dec <-> pow); identity for
+        2-power m, where the bases coincide."""
+        if self.ctx.fm.is_pow2():
+            return x
+        gps = self.ctx.general_plans()
+        return jnp.stack(
+            [gen.l_cm(gps[i], x[i], inverse=inverse)
+             for i in range(x.shape[0])]
+        )
+
+    def _digit_crt(self, src_i, i, known_crt, qs, ctx=None):
         """Digit i's CRT stack straight from the coefficient-domain
         channel src_i = iNTT(x)[i]: the re-expansion into channel j
         (decompose_cm's arithmetic) runs as a prologue INSIDE channel
         j's forward NTT kernel — the (ell-1) digit arrays per digit are
         never materialized in HBM.  Channel i itself is known_crt[i]
-        (free diagonal)."""
+        (free diagonal; exact — iNTT then NTT round-trips bit-exactly,
+        so 1/nrns of the keyswitch digit transforms are free)."""
         from .ops import ntt as _ntt_mod
         from .ops.pallas.ntt_kernel import _redigit
 
+        ctx = ctx if ctx is not None else self.ctx
         B = src_i.shape[-1]
         use_pallas = self._pallas_ok(B)
+        pow2 = ctx.fm.is_pow2()
         outs = []
-        for j, plan in enumerate(plans):
+        for j in range(len(qs)):
             if j == i:
                 outs.append(known_crt[j])
+            elif not pow2:
+                outs.append(gen.crt_cm(
+                    ctx.general_plans()[j], src_i, use_pallas=use_pallas,
+                    pre_digit_q=qs[i],
+                ))
             elif use_pallas:
-                outs.append(pk.ntt_cm(src_i, plan, pre_digit_q=qs[i]))
+                outs.append(
+                    pk.ntt_cm(src_i, ctx.ntt_plans()[j], pre_digit_q=qs[i])
+                )
             else:
+                plan = ctx.ntt_plans()[j]
                 r = _redigit(src_i, qs[i], plan.q)
                 outs.append(jnp.moveaxis(
                     _ntt_mod.ntt_forward_stages(jnp.moveaxis(r, 0, -1), plan),
@@ -292,7 +319,7 @@ class BatchedBGV:
                 me_res = jnp.stack(
                     [jnp.mod(me, q).astype(jnp.uint32) for q in qs]
                 )
-            me_crt = self._ntt(me_res)
+            me_crt = self._ntt(self._l(me_res))
             c1 = jnp.stack(
                 [
                     jax.random.randint(k_u[i], (n, B), 0, q, dtype=jnp.uint32)
@@ -341,7 +368,8 @@ class BatchedBGV:
         @jax.jit
         def dec(c0, c1):
             cs = _addmod_ch(qs, c0, _mulmod_sh_ch(qs, c1, s_crt, s_sh))
-            coeff = self._ntt(cs, inverse=True)  # (nrns, n, B) POW/DEC
+            # decoding-basis coefficients (liftDec; L^-1 is id for 2-power)
+            coeff = self._l(self._ntt(cs, inverse=True), inverse=True)
             if not msd:
                 # lift_mod_jnp wants rns at axis -2: (n, nrns, B) view
                 lifted = basis.lift_mod_jnp(jnp.moveaxis(coeff, 0, 1), p)
@@ -381,7 +409,7 @@ class BatchedBGV:
         @jax.jit
         def err(c0, c1):
             cs = _addmod_ch(qs, c0, _mulmod_sh_ch(qs, c1, s_crt, s_sh))
-            d = self._ntt(cs, inverse=True)  # (nrns, n, B)
+            d = self._l(self._ntt(cs, inverse=True), inverse=True)  # DEC
             mu = basis.lift_mod_jnp(jnp.moveaxis(d, 0, 1), p)  # [d]_p in [0,p)
             hi = mu >= jnp.uint32((p + 1) // 2)
             chans = []
@@ -533,7 +561,6 @@ class BatchedBGV:
 
         ql = qs[-1]
         pinv_l = nt.modinv(p % ql, ql)
-        plans = self.plans()
 
         def rescale_crt(comp):
             """Exact BGV drop-last rescale computed IN the CRT domain:
@@ -544,7 +571,7 @@ class BatchedBGV:
             a ring hom mod q_i, so the result is bit-identical to
             iNTT -> coeff rescale -> NTT, at nrns transforms instead of
             2*nrns - 1).  All scalar constants carry Shoup companions."""
-            last_c = self._ntt_one(comp[-1], plans[-1], inverse=True)
+            last_c = self._crt_one(comp[-1], nrns - 1, inverse=True)
             if msd:
                 v = last_c
             else:
@@ -565,7 +592,7 @@ class BatchedBGV:
                     vi, jnp.uint32(p % qi),
                     jnp.uint32(zq.shoup(p % qi, qi)), qi,
                 )
-                nd = self._ntt_one(delta, plans[i])
+                nd = self._crt_one(delta, i)
                 d = zq.sub_mod(comp[i], nd, qi)
                 chans.append(zq.mul_mod_shoup(
                     d, jnp.uint32(inv), jnp.uint32(zq.shoup(inv, qi)), qi,
@@ -595,9 +622,7 @@ class BatchedBGV:
             e2c = _gathered(self._ntt(e2, inverse=True))
             for i in range(nrns):
                 # digit i's channel i is e2c[i] itself -> its NTT is e2[i]
-                di = _channel_sharded(
-                    self._ntt_digit_fused(e2c[i], i, e2, plans, qs)
-                )
+                di = _channel_sharded(self._digit_crt(e2c[i], i, e2, qs))
                 e0 = _addmod_ch(qs, e0, _mulmod_sh_ch(qs, di, h0[i], h0s[i]))
                 e1 = _addmod_ch(qs, e1, _mulmod_sh_ch(qs, di, h1[i], h1s[i]))
             return rescale_crt(e0), rescale_crt(e1)
@@ -625,10 +650,9 @@ class BatchedBGV:
             c0k = c0[:, perm, :]
             c1k = c1[:, perm, :]
             c1c = self._ntt(c1k, inverse=True)
-            plans = self.plans()
             e0, e1 = c0k, jnp.zeros_like(c1k)
             for i in range(nrns):
-                di = self._ntt_digit_fused(c1c[i], i, c1k, plans, qs)
+                di = self._digit_crt(c1c[i], i, c1k, qs)
                 e0 = _addmod_ch(qs, e0, _mulmod_sh_ch(qs, di, h0[i], h0s[i]))
                 e1 = _addmod_ch(qs, e1, _mulmod_sh_ch(qs, di, h1[i], h1s[i]))
             return e0, e1
@@ -645,9 +669,9 @@ class BatchedBGV:
 
         where a_i = gather_i(iNTT_R(c1)) is the relative coefficient
         decomposition over the common subring E (gen.rel_coeff_table) and
-        digit_j is the RNS gadget over E (= over the same chain).  2-power
-        towers only (the Pallas NTT path); general-m tunnels use she.tunnel.
-        """
+        digit_j is the RNS gadget over E (= over the same chain).  Works
+        for general-m towers too (VERDICT r2 #4): the S-transforms route
+        through the per-ring CRT dispatch (_ntt with ctx=s_ctx)."""
         lin = th.lin
         if not isinstance(th.spec, RnsGad):
             raise ValueError("batched tunnel uses the RNS gadget")
@@ -658,7 +682,6 @@ class BatchedBGV:
         nrns = len(qs)
         d = r_ctx.n // e_ctx.n
         n_s = s_ctx.n
-        plans_s = s_ctx.ntt_plans()
         coeff_tbl = jnp.asarray(gen.rel_coeff_table(e_ctx.m, r_ctx.m))  # (d, n_e)
         embed_tbl = jnp.asarray(gen.embed_pow_table(e_ctx.m, s_ctx.m))  # (n_e,)
         ys = [_crt_const_sh(y, qs) for y in lin.ys]  # images f(b_i), CRT over S
@@ -673,20 +696,7 @@ class BatchedBGV:
             )
 
         def _ntt_s(x, inverse=False):
-            B = x.shape[-1]
-            if self._pallas_ok(B):
-                outs = [pk.ntt_cm(x[i], plans_s[i], inverse=inverse)
-                        for i in range(nrns)]
-            else:
-                from .ops import ntt as _ntt_mod
-
-                fn = (_ntt_mod.ntt_inverse_stages if inverse
-                      else _ntt_mod.ntt_forward_stages)
-                outs = [
-                    jnp.moveaxis(fn(jnp.moveaxis(x[i], 0, -1), plans_s[i]), -1, 0)
-                    for i in range(nrns)
-                ]
-            return jnp.stack(outs)
+            return self._ntt(x, inverse=inverse, ctx=s_ctx)
 
         def _embed_s(a):
             """(nrns, n_e, B) POW coefficients of E -> (nrns, n_s, B)."""
@@ -849,12 +859,19 @@ class BatchedBGV:
 
 
 def _s_crt_np(ctx, s_ints) -> np.ndarray:
-    """(nrns, n) CRT residues of integer coefficients — host numpy NTT
-    (2-power rings; no device dispatch)."""
+    """(nrns, n) CRT residues of integer (powerful-basis) coefficients —
+    host numpy transforms, no device dispatch (2-power: the numpy NTT;
+    general m: gen.np_crt per-axis mirror)."""
     from .ops import ntt as ntt_mod
 
-    plans = ctx.ntt_plans()
     s = np.asarray(s_ints, dtype=np.int64)
+    if not ctx.fm.is_pow2():
+        gps = ctx.general_plans()
+        return np.stack([
+            gen.np_crt(gp, np.mod(s, gp.q).astype(np.uint32)[None])[0]
+            for gp in gps
+        ])
+    plans = ctx.ntt_plans()
     return np.stack([
         ntt_mod.np_ntt_forward(np.mod(s, p.q).astype(np.uint32)[None], p)[0]
         for p in plans
@@ -862,18 +879,24 @@ def _s_crt_np(ctx, s_ints) -> np.ndarray:
 
 
 def _cyc_crt_np(cyc) -> np.ndarray:
-    """Host CRT residues of a Cyc without eager device NTTs (2-power:
-    L == id so POW/DEC coefficients feed the numpy NTT directly)."""
+    """Host CRT residues of a Cyc without eager device NTTs (POW feeds
+    the numpy transform directly; 2-power DEC == POW; general-m DEC
+    falls back to the device path — rare: constants are POW or CRT)."""
     from .cyc import Rep
 
     ctx = cyc.ctx
     if cyc.rep is Rep.CRT:
         return np.asarray(cyc.data)
+    coeffs = np.asarray(cyc.data)  # (nrns, n) residues
     if not ctx.fm.is_pow2():
-        return np.asarray(cyc.to_crt().data)
+        if cyc.rep is Rep.DEC:
+            return np.asarray(cyc.to_crt().data)
+        gps = ctx.general_plans()
+        return np.stack([
+            gen.np_crt(gps[i], coeffs[i][None])[0] for i in range(len(gps))
+        ])
     from .ops import ntt as ntt_mod
 
-    coeffs = np.asarray(cyc.data)  # (nrns, n) residues
     plans = ctx.ntt_plans()
     return np.stack([
         ntt_mod.np_ntt_forward(coeffs[i][None], plans[i])[0]
@@ -921,8 +944,9 @@ def _gen_gadget_hints(params, ctx, s_ints, targets: np.ndarray, key):
     L = T * ell
     p = params.p
     var = params.var
-    plans = ctx.ntt_plans()
-
+    pow2 = ctx.fm.is_pow2()
+    plans = ctx.ntt_plans() if pow2 else None
+    gplans = None if pow2 else ctx.general_plans()
     g_rns = gd_gadget_rns(ctx.basis)  # (ell, nrns)
     cols = np.arange(L)
     jcol = cols % ell
@@ -936,7 +960,7 @@ def _gen_gadget_hints(params, ctx, s_ints, targets: np.ndarray, key):
     s_sh = np.stack([zq.shoup_np(s_crt[i], q) for i, q in enumerate(qs)])
 
     @jax.jit
-    def gen(targets_dev, key):
+    def gen_hints(targets_dev, key):
         ke, *kas = jax.random.split(key, 1 + nrns)
         e = jnp.round(
             jax.random.normal(ke, (n, L), dtype=jnp.float32)
@@ -948,11 +972,14 @@ def _gen_gadget_hints(params, ctx, s_ints, targets: np.ndarray, key):
         h0, h1 = [], []
         for i, q in enumerate(qs):
             pe_res = jnp.mod(pe, q).astype(jnp.uint32)
-            pe_crt = jnp.moveaxis(
-                ntt_mod.ntt_forward_stages(
-                    jnp.moveaxis(pe_res, 0, -1), plans[i]
-                ), -1, 0,
-            )
+            if pow2:
+                pe_crt = jnp.moveaxis(
+                    ntt_mod.ntt_forward_stages(
+                        jnp.moveaxis(pe_res, 0, -1), plans[i]
+                    ), -1, 0,
+                )
+            else:
+                pe_crt = gen.crt_cm(gplans[i], pe_res)
             a = jax.random.randint(kas[i], (n, L), 0, q, dtype=jnp.uint32)
             gt = zq.mul_mod_shoup(
                 tg[i], jnp.asarray(gcol[i])[None, :],
@@ -966,7 +993,7 @@ def _gen_gadget_hints(params, ctx, s_ints, targets: np.ndarray, key):
             h1.append(a)
         return jnp.stack(h0), jnp.stack(h1)  # (nrns, n, L)
 
-    h0, h1 = gen(jnp.asarray(targets), key)
+    h0, h1 = gen_hints(jnp.asarray(targets), key)
     h0 = np.asarray(h0)
     h1 = np.asarray(h1)
     # columns l = t*ell + j -> (T, ell, nrns, n)

@@ -246,3 +246,40 @@ def test_general_crt_agrees_with_mxu_forced_axis():
             lambda v, a=ax: gen.matvec_mod_mxu(jnp.asarray(a.M), v, q),
         )
         np.testing.assert_array_equal(np.asarray(vpu), np.asarray(mxu))
+
+
+# ---------------------------------------------------------------------------
+# coefficient-major (n, B) forms + numpy mirrors (the serving-path layout)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("m", [72, 27, 36])
+def test_crt_cm_matches_row_major_and_numpy(m):
+    """crt_cm / l_cm (coefficient-major, the she_batched layout) and the
+    np_crt numpy mirror == the row-major device transforms, bit-exact,
+    including the inverse roundtrip and the pre_digit_q prologue."""
+    rng = np.random.default_rng(9)
+    q, q2 = nt.ntt_primes(m, 30, 2)
+    plan = gen.general_plan(m, q)
+    n = plan.fm.phi
+    x = rng.integers(0, q, (n, 8), dtype=np.uint64).astype(np.uint32)
+    want = np.asarray(gen.crt(plan, jnp.asarray(x.T))).T
+    got = np.asarray(gen.crt_cm(plan, jnp.asarray(x)))
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(gen.np_crt(plan, x.T).T, want)
+    back = np.asarray(gen.crt_cm(plan, jnp.asarray(got), inverse=True))
+    np.testing.assert_array_equal(back, x)
+    np.testing.assert_array_equal(gen.np_crt(plan, want.T, inverse=True).T, x)
+    wl = np.asarray(gen.l(plan, jnp.asarray(x.T))).T
+    gl = np.asarray(gen.l_cm(plan, jnp.asarray(x)))
+    np.testing.assert_array_equal(gl, wl)
+    np.testing.assert_array_equal(
+        np.asarray(gen.l_cm(plan, jnp.asarray(gl), inverse=True)), x
+    )
+    # fused digit prologue == explicit redigit then transform
+    from lol_tpu.ops.pallas.ntt_kernel import _redigit
+
+    xs = rng.integers(0, q2, (n, 8), dtype=np.uint64).astype(np.uint32)
+    a = np.asarray(gen.crt_cm(plan, jnp.asarray(xs), pre_digit_q=q2))
+    b = np.asarray(gen.crt_cm(plan, _redigit(jnp.asarray(xs), q2, q)))
+    np.testing.assert_array_equal(a, b)
