@@ -18,6 +18,7 @@ fast; the driver's TPU run measures the real thing.
 """
 
 import json
+import os
 import statistics
 import sys
 import time
@@ -25,6 +26,8 @@ import time
 import numpy as np
 
 _T0 = time.time()
+# process-unique PRNG seed (see bench_ntt's cache-hazard note)
+_SEED = (os.getpid() * 1_000_003 + int(_T0)) & 0x7FFFFFFF
 
 
 def _mark(msg):
@@ -51,11 +54,19 @@ def bench_ntt():
         # interpret mode off-TPU so the dev smoke runs on plain CPU
         return [pk.ntt_cm(a, p, interpret=not on_tpu) for a, p in zip(arrs, plans)]
 
+    # fresh seed per process: the tunnel's remote execution service can
+    # serve CACHED results for dispatch chains it has seen before (same
+    # executable + same inputs), which silently turns re-runs into
+    # memory reads — measured as an impossible ~400M NTT/s.  A
+    # process-unique seed makes every chain novel; the correctness
+    # guard below still checks the actual fetched values.
+    seed = _SEED
+
     def measure(B, windows, iters):
         """k timed windows at batch B -> list of 60-bit-NTT/s rates."""
         # inputs generated ON DEVICE: uploading (n, B) u32 stacks through
         # the tunnel costs minutes; only guard columns cross to the host
-        keys = jax.random.split(jax.random.PRNGKey(0), len(qs))
+        keys = jax.random.split(jax.random.PRNGKey(seed), len(qs))
         xs = [
             jax.random.randint(k, (n, B), 0, q, dtype=jnp.uint32)
             for k, q in zip(keys, qs)
@@ -74,16 +85,20 @@ def bench_ntt():
         rates = []
         for _ in range(windows):
             t0 = time.time()
-            yw = ys
             for _ in range(iters):
-                yw = step(yw)
-            [y.block_until_ready() for y in yw]
+                # chain continues ACROSS windows: no two dispatches in
+                # the run are ever identical (cache-hazard defense)
+                ys = step(ys)
+            [y.block_until_ready() for y in ys]
             rates.append(B * iters / (time.time() - t0))
         return rates
 
     windows = 5 if on_tpu else 2
-    iters = 20 if on_tpu else 2
-    batches = (4096, 8192, 16384) if on_tpu else (256,)
+    # 40 iters/window: a timing window carries ~30-75 ms of fixed
+    # tunnel-dispatch/sync overhead, which at 20 iters biased the rate
+    # ~12% low (the r2 1.49M-vs-1.78M discrepancy); 40 iters amortize it
+    iters = 40 if on_tpu else 2
+    batches = (4096, 8192, 16384, 32768) if on_tpu else (256,)
     per_b = {}
     for B in batches:
         _mark(f"ntt leg B={B}")
@@ -138,7 +153,7 @@ def bench_bgv(m, nrns, batch, iters, p=257):
     enc = bb.build_encrypt(sk)
     step = bb.build_step(hint)
     # messages generated on device; only guard columns cross the tunnel
-    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(_SEED ^ 7))
     m1 = jax.random.randint(k1, (n, batch), 0, params.p, dtype=jnp.int32)
     m2 = jax.random.randint(k2, (n, batch), 0, params.p, dtype=jnp.int32)
     _mark("bgv: compile/run encrypt")
@@ -200,7 +215,7 @@ def bench_tunnel(m_r, m_s, nrns, batch, iters):
     tun = bb.build_tunnel(th)
     enc = bb.build_encrypt(sk_r)
     msgs = jax.random.randint(
-        jax.random.PRNGKey(8), (R.n, batch), 0, pr.p, dtype=jnp.int32
+        jax.random.PRNGKey(_SEED ^ 8), (R.n, batch), 0, pr.p, dtype=jnp.int32
     )
     _mark("tunnel: compile/run")
     c0, c1 = enc(msgs, jax.random.PRNGKey(6))
@@ -225,7 +240,7 @@ def main():
     # config 5 scale on TPU; tiny smoke ring off-TPU (dev machines)
     m_she = 32768 if on_tpu else 256
     batch = 1024 if on_tpu else 128  # 1024: +5% over 512 (grid amortization)
-    iters = 10 if on_tpu else 2
+    iters = 30 if on_tpu else 2  # ~1s windows amortize the sync overhead
     n_bgv, bgv_rate = bench_bgv(m_she, nrns=3, batch=batch, iters=iters)
     # the n=4096 pipeline (README's "~78k" claim), driver-verifiable
     m_4k = 8192 if on_tpu else 128

@@ -355,11 +355,14 @@ def _kernel_block(x_ref, w_ref, wsh_ref, o_ref, *, q, tS, inverse, n_inv,
 
 @lru_cache(maxsize=512)
 def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
-           rlog: int = 1, lazy: bool = True, pre_q: int | None = None):
+           rlog: int = 1, lazy: bool = True, pre_q: int | None = None,
+           full_tables: bool = False):
     """Jitted (n, B) -> (n, B) column-major negacyclic NTT.
 
     pre_q: fuse the RNS-gadget digit re-expansion from modulus pre_q
-    into the first forward kernel (see _redigit)."""
+    into the first forward kernel (see _redigit).
+    full_tables: ship lanes-wide twiddle operands (the pre-tile-widening
+    behavior) — kept as a measurement knob for A/B'ing table traffic."""
     n, q = plan.n, plan.q
     k, S, tS = _split(n)
     nblk = n // tS
@@ -367,7 +370,7 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
     G = max(1, WINDOW // P)
     # twiddle tables ship at one native tile — or narrower, matching the
     # data, when the caller runs a sub-tile lane count (ADVICE r2)
-    W = min(TILE, lanes)
+    W = lanes if full_tables else min(TILE, lanes)
 
     src, src_sh = (
         (plan.ipsi_rev, plan.ipsi_rev_sh) if inverse else (plan.psi_rev, plan.psi_rev_sh)
@@ -481,7 +484,8 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
 
 def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
            interpret: bool = False, radix: int | None = None,
-           lazy: bool = True, pre_digit_q: int | None = None):
+           lazy: bool = True, pre_digit_q: int | None = None,
+           full_tables: bool = False):
     """Negacyclic NTT over axis 0 of a column-major (n, B) u32 array.
 
     B must be a multiple of `lanes`.  Defaults tuned on v5e at n=4096,
@@ -509,7 +513,7 @@ def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
     if pre_digit_q is not None and inverse:
         raise ValueError("ntt_cm: pre_digit_q is a forward-only prologue")
     return _build(plan, inverse, lanes, interpret, rlog, lazy,
-                  pre_q=pre_digit_q)(x)
+                  pre_q=pre_digit_q, full_tables=full_tables)(x)
 
 
 def ntt_batched(x, plan: NTTPlan, inverse: bool = False, interpret: bool = False):
