@@ -1,0 +1,83 @@
+"""Serving-path demo: the fused batched BGV pipeline end to end.
+
+Covers the round-3 serving surface: batched encrypt -> fused
+mul+keyswitch+rescale -> device decrypt in BOTH encodings (LSD and MSD),
+device-side noise-budget tracking, the batched encoding switches, and
+the general-m (composite cyclotomic) fused pipeline.  Runs on CPU (the
+XLA path is bit-identical to the Pallas TPU path).
+"""
+
+import sys
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # demo-sized; skip the TPU tunnel
+
+import jax.numpy as jnp
+import numpy as np
+
+from lol_tpu import numtheory as nt, she
+from lol_tpu.she_batched import BatchedBGV
+
+
+def pipeline(m, p, encoding, B=8):
+    qs = tuple(nt.ntt_primes(m, 30, 3))
+    params = she.SHEParams(m=m, p=p, qs=qs, var=2.0)
+    sk = she.gen_sk(params, jax.random.PRNGKey(0))
+    bb = BatchedBGV(params, use_pallas=False)
+    hint = bb.gen_ks_quad_hint(sk, jax.random.PRNGKey(1))  # one-call keygen
+    n = params.ctx.n
+
+    rng = np.random.default_rng(0)
+    m1 = rng.integers(0, p, (n, B)).astype(np.int32)
+    m2 = rng.integers(0, p, (n, B)).astype(np.int32)
+    enc = bb.build_encrypt(sk, encoding=encoding)
+    c0, c1 = enc(jnp.asarray(m1), jax.random.PRNGKey(2))
+    d0, d1 = enc(jnp.asarray(m2), jax.random.PRNGKey(3))
+
+    # one fused step: ct_mul -> RNS-gadget keyswitch -> exact rescale
+    e0, e1 = bb.build_step(hint, encoding=encoding)(c0, c1, d0, d1)
+
+    # device decrypt over the dropped-prime chain (encoding-aware)
+    params2 = she.SHEParams(m=m, p=p, qs=qs[:-1], var=params.var)
+    sk2 = she.SK(params2, sk.s_ints, sk.var)
+    f2 = bb.step_f(1, 1, encoding=encoding)
+    dec = BatchedBGV(params2, use_pallas=False).build_decrypt(
+        sk2, f=f2, encoding=encoding
+    )
+    got = np.asarray(dec(e0, e1))
+    ok = all(
+        np.array_equal(got[:, b], she.pt_mul(params, m1[:, b], m2[:, b]))
+        for b in range(B)
+    )
+    tag = f"m={m} ({'2-power' if m & (m - 1) == 0 else 'composite'}), {encoding.upper()}"
+    print(f"{tag:34} batch of {B} mul+ks+rescale -> decrypt: {'OK' if ok else 'FAIL'}")
+    return bb, sk, (c0, c1)
+
+
+def main():
+    # 2-power ring, both encodings
+    bb, sk, (c0, c1) = pipeline(m=256, p=257, encoding="lsd")
+    bbm, skm, (mc0, mc1) = pipeline(m=256, p=257, encoding="msd")
+    # composite cyclotomic (m = 2^2 * 3^2) through the same fused path
+    pipeline(m=36, p=5, encoding="lsd")
+
+    # device-side noise budgets for a whole batch at once (LSD cts)
+    bits = np.asarray(bb.build_noise_bits(sk)(c0, c1))
+    print(f"fresh-ct noise budgets (device, batch): {np.round(bits, 1)} bits")
+
+    # batched encoding switches: MSD -> LSD -> MSD round-trip decrypts
+    l0, l1 = bbm.build_to_lsd()(mc0, mc1)
+    r0, r1 = bbm.build_to_msd()(l0, l1)
+    f = bbm.to_msd_f(bbm.to_lsd_f(1))
+    dec = bbm.build_decrypt(skm, f=f, encoding="msd")
+    rng = np.random.default_rng(0)
+    n = bbm.ctx.n
+    m1 = rng.integers(0, bbm.params.p, (n, 8)).astype(np.int32)
+    print("to_lsd -> to_msd round-trip decrypts:",
+          np.array_equal(np.asarray(dec(r0, r1)), m1))
+
+
+if __name__ == "__main__":
+    main()
