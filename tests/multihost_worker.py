@@ -63,6 +63,50 @@ def main(pid: int, nproc: int, port: int) -> None:
     )(g)
     assert int(np.asarray(tot)) == int(full.sum(dtype=np.uint32)), "psum"
 
+    # the real thing: a (rns x data) mesh SPANNING the two processes,
+    # running the fused BGV step — "same code, bigger mesh", executed.
+    # Deterministic threefry keygen gives both processes identical
+    # keys/hints/ciphertexts; each contributes its local batch shard.
+    from lol_tpu import gadget as gd, she
+    from lol_tpu.parallel.multihost import global_mesh
+    from lol_tpu.she_batched import BatchedBGV
+
+    # DCN-crossing axis FIRST (global_mesh docstring): 'data' spans the
+    # two processes, 'rns' stays within each process's devices
+    mesh2 = global_mesh({"data": -1, "rns": 2})
+    m_she = 32
+    qs2 = tuple(nt.ntt_primes(m_she, 30, 2))
+    params = she.SHEParams(m=m_she, p=257, qs=qs2, var=2.0)
+    key = jax.random.PRNGKey(7)
+    ks, kh, k1, k2 = jax.random.split(key, 4)
+    sk = she.gen_sk(params, ks)
+    hint = she.ks_quad_circ_hint(sk, gd.RnsGad(), kh)
+    bb = BatchedBGV(params, use_pallas=False)
+    rng2 = np.random.default_rng(1)
+    Bs = 2 * mesh2.shape["data"]
+    cts_a = [she.encrypt(sk, she.pt_random(params, rng2), k)
+             for k in jax.random.split(k1, Bs)]
+    cts_b = [she.encrypt(sk, she.pt_random(params, rng2), k)
+             for k in jax.random.split(k2, Bs)]
+    comps = [np.asarray(x) for x in (*bb.pack(cts_a), *bb.pack(cts_b))]
+    sh2 = NamedSharding(mesh2, P("rns", None, "data"))
+    dd = mesh2.shape["data"]
+    per_d = Bs // nproc  # data axis is contiguous over processes
+
+    def to_global(a):
+        loc = a[:, :, pid * per_d : (pid + 1) * per_d]
+        return jax.make_array_from_process_local_data(sh2, loc, a.shape)
+
+    gargs = [to_global(a) for a in comps]
+    e0, e1 = bb.build_step(hint, mesh=mesh2)(*gargs)
+    ref0, ref1 = bb.build_step(hint)(*comps)  # local unsharded oracle
+    for got, ref in ((e0, ref0), (e1, ref1)):
+        refn = np.asarray(ref)
+        for shard in got.addressable_shards:
+            np.testing.assert_array_equal(
+                np.asarray(shard.data), refn[shard.index]
+            )
+
     print(f"MULTIHOST_OK {pid}", flush=True)
 
 

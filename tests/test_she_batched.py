@@ -444,6 +444,50 @@ def test_batched_general_m_pipeline(rng):
                                   she.decrypt(sk_s, ref_t))
 
 
+def test_batched_general_m_msd(rng):
+    """The encoding x ring-shape matrix closes: MSD through the
+    general-m fused pipeline (m = 36), bit-exact vs the object path."""
+    import jax.numpy as jnp
+
+    m = 36
+    qs = tuple(nt.ntt_primes(m, 30, 3))
+    params = she.SHEParams(m=m, p=5, qs=qs, var=2.0)
+    sk = she.gen_sk(params, jax.random.PRNGKey(0))
+    bb = BatchedBGV(params, use_pallas=False)
+    hint = bb.gen_ks_quad_hint(sk, jax.random.PRNGKey(1))
+    n, B = params.ctx.n, 3
+    m1 = rng.integers(0, params.p, (n, B)).astype(np.int32)
+    m2 = rng.integers(0, params.p, (n, B)).astype(np.int32)
+    enc = bb.build_encrypt(sk, encoding="msd")
+    c0, c1 = enc(jnp.asarray(m1), jax.random.PRNGKey(2))
+    d0, d1 = enc(jnp.asarray(m2), jax.random.PRNGKey(3))
+    # MSD encrypt/decrypt roundtrip at composite m
+    np.testing.assert_array_equal(
+        np.asarray(bb.build_decrypt(sk, encoding="msd")(c0, c1)), m1
+    )
+    e0, e1 = bb.build_step(hint, encoding="msd")(c0, c1, d0, d1)
+    params2 = she.SHEParams(m=m, p=params.p, qs=qs[:-1], var=params.var)
+    bb2 = BatchedBGV(params2, use_pallas=False)
+    sk2 = she.SK(params2, sk.s_ints, sk.var)
+    f2 = bb.step_f(1, 1, encoding="msd")
+    got = np.asarray(bb2.build_decrypt(sk2, f=f2, encoding="msd")(e0, e1))
+    outs = bb2.unpack((e0, e1), f=f2, encoding="msd")
+    cts_a, cts_b = (bb.unpack((a, b), encoding="msd")
+                    for a, b in ((c0, c1), (d0, d1)))
+    for b in range(B):
+        ref = she.mod_switch(
+            she.key_switch_quad_circ(hint, she.ct_mul(cts_a[b], cts_b[b]))
+        )
+        for k in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(outs[b].cs[k].data),
+                np.asarray(ref.cs[k].to_crt().data),
+            )
+        want = she.pt_mul(params, m1[:, b], m2[:, b])
+        np.testing.assert_array_equal(she.decrypt(sk2, ref), want)
+        np.testing.assert_array_equal(got[:, b], want)
+
+
 def test_device_hint_gen_quad_linear_galois(rng):
     """Device-generated hints (one-call keygen) are functionally
     interchangeable with the object-path hints: keyswitched ciphertexts
