@@ -4,9 +4,10 @@ Primary metric (BASELINE.md): negacyclic NTTs/sec at n=4096 over a 60-bit
 RNS modulus (2 x 30-bit NTT primes); baseline 1,000,000 NTT/s/chip (v5p).
 
 Reproducibility (VERDICT r2 #1): the NTT leg runs k>=5 timed windows per
-batch size, sweeps B in {4096, 8192, 16384}, and reports the best batch's
-MEDIAN with the min/max spread across its windows — a single 40-iter
-window on a shared tunneled chip was too noisy to be a number of record.
+batch size, sweeps B in {4096, 8192, 16384, 32768}, and reports the best
+batch's MEDIAN with the min/max spread across its windows — a single
+short window on a shared tunneled chip was too noisy to be a number of
+record.
 
 The same line carries the other BASELINE headlines as extra keys:
   bgv_ct_ops_per_sec      BGV ct-mult + key-switch + rescale at n=2^14

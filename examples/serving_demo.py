@@ -53,13 +53,13 @@ def pipeline(m, p, encoding, B=8):
     )
     tag = f"m={m} ({'2-power' if m & (m - 1) == 0 else 'composite'}), {encoding.upper()}"
     print(f"{tag:34} batch of {B} mul+ks+rescale -> decrypt: {'OK' if ok else 'FAIL'}")
-    return bb, sk, (c0, c1)
+    return bb, sk, (c0, c1), m1
 
 
 def main():
     # 2-power ring, both encodings
-    bb, sk, (c0, c1) = pipeline(m=256, p=257, encoding="lsd")
-    bbm, skm, (mc0, mc1) = pipeline(m=256, p=257, encoding="msd")
+    bb, sk, (c0, c1), _ = pipeline(m=256, p=257, encoding="lsd")
+    bbm, skm, (mc0, mc1), m1 = pipeline(m=256, p=257, encoding="msd")
     # composite cyclotomic (m = 2^2 * 3^2) through the same fused path
     pipeline(m=36, p=5, encoding="lsd")
 
@@ -72,9 +72,6 @@ def main():
     r0, r1 = bbm.build_to_msd()(l0, l1)
     f = bbm.to_msd_f(bbm.to_lsd_f(1))
     dec = bbm.build_decrypt(skm, f=f, encoding="msd")
-    rng = np.random.default_rng(0)
-    n = bbm.ctx.n
-    m1 = rng.integers(0, bbm.params.p, (n, 8)).astype(np.int32)
     print("to_lsd -> to_msd round-trip decrypts:",
           np.array_equal(np.asarray(dec(r0, r1)), m1))
 

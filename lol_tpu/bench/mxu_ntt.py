@@ -44,6 +44,7 @@ The verdict lives in DESIGN.md ("MXU-butterfly experiment").
 from __future__ import annotations
 
 import argparse
+import os
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -181,7 +182,11 @@ def vpu_u32_ceiling(iters: int = 512, rows: int = 512, lanes: int = 512,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    x = jnp.ones((grid * rows, lanes), dtype=jnp.uint32)
+    # process-unique data (see run()'s cache-hazard note)
+    x = jax.random.randint(
+        jax.random.PRNGKey(_seed()), (grid * rows, lanes), 0, 1 << 30,
+        dtype=jnp.uint32,
+    )
     kern = partial(_chain_kernel, iters=iters)
     f = jax.jit(lambda v: pl.pallas_call(
         kern,
@@ -208,6 +213,10 @@ def vpu_u32_ceiling(iters: int = 512, rows: int = 512, lanes: int = 512,
 # ---------------------------------------------------------------------------
 
 
+def _seed() -> int:
+    return (os.getpid() * 1_000_003 + int(time.time())) & 0x7FFFFFFF
+
+
 def _time(fn, iters=20):
     jax.block_until_ready(fn())
     t0 = time.time()
@@ -220,7 +229,12 @@ def _time(fn, iters=20):
 def run(n: int = 4096, batch: int = 8192, P: int = 64):
     q = nt.ntt_primes(2 * n, 30, 1)[0]
     plan = ntt.ntt_plan(n, q)
-    rng = np.random.default_rng(0)
+    # process-unique inputs: the tunnel's remote execution service can
+    # serve cross-process CACHED results for (executable, input) pairs
+    # it has seen — a re-run with fixed-seed data would time memory
+    # reads (see CLAUDE.md).  Correctness is still checked against the
+    # oracle on the actual fetched values.
+    rng = np.random.default_rng(_seed())
     x_np = rng.integers(0, q, (n, batch), dtype=np.uint64).astype(np.uint32)
     x = jnp.asarray(x_np)
     on_tpu = jax.default_backend() == "tpu"

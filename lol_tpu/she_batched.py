@@ -304,10 +304,11 @@ class BatchedBGV:
                 * jnp.sqrt(jnp.float32(var))
             ).astype(jnp.int32)
             if msd:
+                mm = jnp.mod(msgs, p).astype(jnp.uint32)  # accept centered
                 me_res = []
                 for i, q in enumerate(qs):
                     dm = zq.mul_mod_shoup(
-                        msgs.astype(jnp.uint32), jnp.uint32(d_res[i][0]),
+                        mm, jnp.uint32(d_res[i][0]),
                         jnp.uint32(d_res[i][1]), q,
                     )
                     me_res.append(
@@ -429,37 +430,56 @@ class BatchedBGV:
         log2(max_coeff |e|) per ciphertext (she.noise_bits, batched).
 
         |e| = min(x, Q - x) over the canonical representative x of e,
-        both magnitudes assembled in float32 from the Garner mixed-radix
-        digits (each a non-negative digit-weight sum — no cancellation,
-        so the relative error is ~2^-20: log2 values match the host
-        path to ~1e-5, asserted by the cross test)."""
+        assembled from the Garner mixed-radix digits (non-negative
+        digit-weight sums — no cancellation).  Digit weights are binned
+        into 70-bit groups, each group summed at its own float32 scale,
+        and the per-coefficient log2 is taken as max over groups of
+        log2(mag_g + mag_{g-1}/2^70) + 70g — so arbitrarily long chains
+        neither overflow NOR underflow float32 (a single global 2^-shift
+        zeroed low digits for chains over ~8 primes); dropped groups
+        contribute < 2^-36 relative.  Matches the host noise_bits to
+        float32 accuracy (asserted by the cross test)."""
         qs = self.qs
         basis = self.ctx.basis
         err = self.build_error_term(sk)
-        Q = basis.modulus
-        shift = max(0, Q.bit_length() - 100)  # keep float32 in range
-        ws = []
+        GB = 70  # group span in bits: group sums stay < 2^104 < float32 max
+        groups: dict[int, list[tuple[int, float]]] = {}
         W = 1
-        for q in qs:
-            ws.append(float(W) / float(2 ** shift))
+        for j, q in enumerate(qs):
+            g = (W.bit_length() - 1) // GB
+            groups.setdefault(g, []).append((j, float(W) / float(2 ** (GB * g))))
             W *= q
+        gmax = max(groups)
 
-        def mag(v):  # (n, nrns, B) digits -> (n, B) scaled magnitude
-            acc = v[:, 0, :].astype(jnp.float32) * jnp.float32(ws[0])
-            for j in range(1, len(qs)):
-                acc = acc + v[:, j, :].astype(jnp.float32) * jnp.float32(ws[j])
-            return acc
+        def logmag(v):  # (n, nrns, B) digits -> (n, B) log2 magnitude
+            mags = {}
+            for g, entries in groups.items():
+                acc = None
+                for j, w in entries:
+                    t = v[:, j, :].astype(jnp.float32) * jnp.float32(w)
+                    acc = t if acc is None else acc + t
+                mags[g] = acc
+            best = jnp.full(v.shape[::2], -jnp.inf, dtype=jnp.float32)
+            for g in sorted(groups):
+                tot = mags[g]
+                if g - 1 in mags:
+                    tot = tot + mags[g - 1] * jnp.float32(2.0 ** -GB)
+                cand = jnp.where(
+                    mags[g] > 0,
+                    jnp.log2(tot) + jnp.float32(GB * g),
+                    jnp.float32(-jnp.inf),
+                )
+                best = jnp.maximum(best, cand)
+            return best
 
         @jax.jit
         def bits(c0, c1):
             e = err(c0, c1)
             neg = jnp.stack([zq.neg_mod(e[i], q) for i, q in enumerate(qs)])
-            m_pos = mag(basis.to_mixed_radix_jnp(jnp.moveaxis(e, 0, 1)))
-            m_neg = mag(basis.to_mixed_radix_jnp(jnp.moveaxis(neg, 0, 1)))
+            m_pos = logmag(basis.to_mixed_radix_jnp(jnp.moveaxis(e, 0, 1)))
+            m_neg = logmag(basis.to_mixed_radix_jnp(jnp.moveaxis(neg, 0, 1)))
             mx = jnp.max(jnp.minimum(m_pos, m_neg), axis=0)  # (B,)
-            return jnp.where(
-                mx > 0, jnp.log2(mx) + jnp.float32(shift), jnp.float32(0)
-            )
+            return jnp.where(jnp.isfinite(mx), mx, jnp.float32(0))
 
         return bits
 
