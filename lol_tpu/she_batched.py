@@ -211,14 +211,30 @@ class BatchedBGV:
               else _ntt_mod.ntt_forward_stages)
         return jnp.moveaxis(fn(jnp.moveaxis(x2d, 0, -1), plan), -1, 0)
 
-    def _crt_one(self, x2d, ch, inverse=False, ctx=None):
-        """(n, B) single-channel CRT transform of the given ring."""
+    def _crt_one(self, x2d, ch, inverse=False, ctx=None, pre_digit_q=None):
+        """(n, B) single-channel CRT transform of the given ring.
+
+        pre_digit_q: fuse the RNS-gadget digit re-expansion (centered
+        [x]_{pre_digit_q} mod q_ch) as an in-kernel prologue of the
+        forward transform (identity when pre_digit_q == q_ch)."""
         ctx = ctx if ctx is not None else self.ctx
-        if ctx.fm.is_pow2():
-            return self._ntt_one(x2d, ctx.ntt_plans()[ch], inverse)
-        return gen.crt_cm(
-            ctx.general_plans()[ch], x2d, inverse=inverse,
-            use_pallas=self._pallas_ok(x2d.shape[-1]),
+        use_pallas = self._pallas_ok(x2d.shape[-1])
+        if not ctx.fm.is_pow2():
+            return gen.crt_cm(
+                ctx.general_plans()[ch], x2d, inverse=inverse,
+                use_pallas=use_pallas, pre_digit_q=pre_digit_q,
+            )
+        plan = ctx.ntt_plans()[ch]
+        if pre_digit_q is None:
+            return self._ntt_one(x2d, plan, inverse)
+        if use_pallas:
+            return pk.ntt_cm(x2d, plan, pre_digit_q=pre_digit_q)
+        from .ops import ntt as _ntt_mod
+        from .ops.pallas.ntt_kernel import _redigit
+
+        r = _redigit(x2d, pre_digit_q, plan.q)
+        return jnp.moveaxis(
+            _ntt_mod.ntt_forward_stages(jnp.moveaxis(r, 0, -1), plan), -1, 0
         )
 
     def _ntt(self, x, inverse=False, ctx=None):
@@ -248,34 +264,11 @@ class BatchedBGV:
         never materialized in HBM.  Channel i itself is known_crt[i]
         (free diagonal; exact — iNTT then NTT round-trips bit-exactly,
         so 1/nrns of the keyswitch digit transforms are free)."""
-        from .ops import ntt as _ntt_mod
-        from .ops.pallas.ntt_kernel import _redigit
-
-        ctx = ctx if ctx is not None else self.ctx
-        B = src_i.shape[-1]
-        use_pallas = self._pallas_ok(B)
-        pow2 = ctx.fm.is_pow2()
-        outs = []
-        for j in range(len(qs)):
-            if j == i:
-                outs.append(known_crt[j])
-            elif not pow2:
-                outs.append(gen.crt_cm(
-                    ctx.general_plans()[j], src_i, use_pallas=use_pallas,
-                    pre_digit_q=qs[i],
-                ))
-            elif use_pallas:
-                outs.append(
-                    pk.ntt_cm(src_i, ctx.ntt_plans()[j], pre_digit_q=qs[i])
-                )
-            else:
-                plan = ctx.ntt_plans()[j]
-                r = _redigit(src_i, qs[i], plan.q)
-                outs.append(jnp.moveaxis(
-                    _ntt_mod.ntt_forward_stages(jnp.moveaxis(r, 0, -1), plan),
-                    -1, 0,
-                ))
-        return jnp.stack(outs)
+        return jnp.stack([
+            known_crt[j] if j == i
+            else self._crt_one(src_i, j, ctx=ctx, pre_digit_q=qs[i])
+            for j in range(len(qs))
+        ])
 
     # --- batched encryption ------------------------------------------------
     def build_encrypt(self, sk: she.SK, encoding: str = "lsd"):
@@ -719,10 +712,10 @@ class BatchedBGV:
             return self._ntt(x, inverse=inverse, ctx=s_ctx)
 
         def _embed_s(a):
-            """(nrns, n_e, B) POW coefficients of E -> (nrns, n_s, B)."""
+            """(..., n_e, B) POW coefficients of E -> (..., n_s, B)."""
             B = a.shape[-1]
-            out = jnp.zeros((nrns, n_s, B), dtype=a.dtype)
-            return out.at[:, embed_tbl, :].set(a)
+            out = jnp.zeros((*a.shape[:-2], n_s, B), dtype=a.dtype)
+            return out.at[..., embed_tbl, :].set(a)
 
         @jax.jit
         def tun(c0, c1):
@@ -738,9 +731,18 @@ class BatchedBGV:
                     _mulmod_sh_ch(qs, _ntt_s(_embed_s(a0)), *ys[i]),
                 )
                 a1 = c1p[:, coeff_tbl[i], :]
-                digits = decompose_cm(qs, a1)  # (ell, nrns, n_e, B)
                 for j in range(nrns):
-                    dj = _ntt_s(_embed_s(digits[j]))
+                    # digit j's re-expansion (decompose_cm's arithmetic)
+                    # runs as the prologue of each channel's forward
+                    # S-transform; redigit commutes with the zero-
+                    # preserving embed scatter, so this is bit-identical
+                    # to decompose-then-embed-then-NTT with no digit
+                    # arrays materialized in HBM
+                    src = _embed_s(a1[j])  # (n_s, B)
+                    dj = jnp.stack([
+                        self._crt_one(src, ch, ctx=s_ctx, pre_digit_q=qs[j])
+                        for ch in range(nrns)
+                    ])
                     h0v, h0s = hints0[i]
                     h1v, h1s = hints1[i]
                     e0 = _addmod_ch(
