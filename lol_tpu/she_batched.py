@@ -75,7 +75,12 @@ def _submod_ch(qs, a, b):
 def decompose_cm(qs, x):
     """RNS-gadget digits of (nrns, n, B) coeff-domain values: digit i =
     centered [x]_{q_i} re-expanded into every channel, shape
-    (ell=nrns, nrns, n, B) (gadget.decompose_rns_jnp in this layout)."""
+    (ell=nrns, nrns, n, B) (gadget.decompose_rns_jnp in this layout).
+
+    The hot paths no longer call this — the same arithmetic runs as the
+    pre_digit_q prologue inside the forward transforms (_redigit; bit-
+    identical, tested in test_pallas_ntt) — but it remains the readable
+    reference form and the API for materialized digits."""
     digs = []
     for i, qi in enumerate(qs):
         xi = x[i]
@@ -583,7 +588,12 @@ class BatchedBGV:
             forward-transformed into each surviving channel (every op is
             a ring hom mod q_i, so the result is bit-identical to
             iNTT -> coeff rescale -> NTT, at nrns transforms instead of
-            2*nrns - 1).  All scalar constants carry Shoup companions."""
+            2*nrns - 1).  All scalar constants carry Shoup companions.
+            (Routing the re-expansion through the pre_digit kernel
+            prologue — the tunnel's +33% trick — measured ~3% SLOWER
+            here: delta is a single cheap fused XLA pass, and the
+            prologue variant of the cross kernel costs more than the
+            pass it saves.  Kept explicit.)"""
             last_c = self._crt_one(comp[-1], nrns - 1, inverse=True)
             if msd:
                 v = last_c
