@@ -97,25 +97,6 @@ def decompose_cm(qs, x):
     return jnp.stack(digs)
 
 
-def bgv_rescale_cm(qs, p, x):
-    """(nrns, n, B) coeff-domain -> (nrns-1, n, B): exact BGV drop-last
-    rescale with the p-multiple correction (LSD invariant preserved)."""
-    ql = qs[-1]
-    pinv_l = nt.modinv(p % ql, ql)
-    last = x[-1]
-    v = zq.mul_mod(last, jnp.uint32(pinv_l), ql)
-    is_high = v >= jnp.uint32((ql + 1) // 2)
-    outs = []
-    for i, qi in enumerate(qs[:-1]):
-        inv = nt.modinv(ql % qi, qi)
-        vi = zq.reduce_mod(v, qi)
-        vi = jnp.where(is_high, zq.sub_mod(vi, jnp.uint32(ql % qi), qi), vi)
-        delta = zq.mul_mod(vi, jnp.uint32(p % qi), qi)
-        d = zq.sub_mod(x[i], delta, qi)
-        outs.append(zq.mul_mod(d, jnp.uint32(inv), qi))
-    return jnp.stack(outs)
-
-
 def _crt_const(cyc_val, qs) -> jnp.ndarray:
     """A Cyc baked as an (nrns, n, 1) CRT-domain jit constant.
 

@@ -506,6 +506,32 @@ def test_batched_general_m_msd(rng):
         np.testing.assert_array_equal(got[:, b], want)
 
 
+def test_batched_galois_general_m(rng):
+    """Homomorphic Galois automorphism through the general-m fused path
+    (slot perm + fused digit keyswitch at composite m) == object path."""
+    m = 36
+    qs = tuple(nt.ntt_primes(m, 30, 3))
+    params = she.SHEParams(m=m, p=5, qs=qs, var=2.0)
+    sk = she.gen_sk(params, jax.random.PRNGKey(130))
+    k = 5  # unit mod 36
+    hint = she.ks_galois_hint(k, sk, gd.RnsGad(), jax.random.PRNGKey(131))
+    cts = [she.encrypt(sk, she.pt_random(params, rng),
+                       jax.random.PRNGKey(132 + b)) for b in range(2)]
+    bb = BatchedBGV(params, use_pallas=False)
+    c0, c1 = bb.pack(cts)
+    e0, e1 = bb.build_galois(hint, k)(c0, c1)
+    outs = bb.unpack((e0, e1))
+    for b in range(2):
+        ref = she.ct_galois(hint, k, cts[b])
+        for comp in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(outs[b].cs[comp].data),
+                np.asarray(ref.cs[comp].to_crt().data),
+            )
+        np.testing.assert_array_equal(she.decrypt(sk, outs[b]),
+                                      she.decrypt(sk, ref))
+
+
 def test_device_hint_gen_quad_linear_galois(rng):
     """Device-generated hints (one-call keygen) are functionally
     interchangeable with the object-path hints: keyswitched ciphertexts
