@@ -15,6 +15,17 @@ import time
 import numpy as np
 
 
+def _seed() -> int:
+    """Process-unique data seed: the tunnel's remote execution service
+    can serve cross-process CACHED results for (executable, input) pairs
+    it has seen, so fixed-seed timing loops can measure memory reads
+    (CLAUDE.md gotcha)."""
+    import os as _os
+    import time as _time
+
+    return (_os.getpid() * 1_000_003 + int(_time.time())) & 0x7FFFFFFF
+
+
 def _time(fn, args, iters=30):
     import jax
 
@@ -37,7 +48,7 @@ def run(n: int = 4096, batch: int = 1024, nrns: int = 2, use_tpu=True):
 
     qs = nt.ntt_primes(2 * n, 30, nrns)
     plans = [ntt.ntt_plan(n, q) for q in qs]
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(_seed())
     x_cm = [
         jnp.asarray(rng.integers(0, q, (n, batch), dtype=np.uint64).astype(np.uint32))
         for q in qs

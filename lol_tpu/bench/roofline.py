@@ -29,6 +29,17 @@ def trace(log_dir: str):
         yield
 
 
+def _seed() -> int:
+    """Process-unique data seed: the tunnel's remote execution service
+    can serve cross-process CACHED results for (executable, input) pairs
+    it has seen, so fixed-seed timing loops can measure memory reads
+    (CLAUDE.md gotcha)."""
+    import os as _os
+    import time as _time
+
+    return (_os.getpid() * 1_000_003 + int(_time.time())) & 0x7FFFFFFF
+
+
 def _time(fn, iters=30):
     import jax
 
@@ -54,7 +65,7 @@ def run(n: int = 4096, batch: int = 8192, peak_gops: float | None = None,
 
     q = nt.ntt_primes(2 * n, 30, 1)[0]
     plan = ntt.ntt_plan(n, q)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(_seed())
     x = jnp.asarray(rng.integers(0, q, (n, batch), dtype=np.uint64).astype(np.uint32))
     y = jnp.asarray(rng.integers(0, q, (n, batch), dtype=np.uint64).astype(np.uint32))
     on_tpu = jax.default_backend() == "tpu"

@@ -21,6 +21,18 @@ import time
 import numpy as np
 
 
+
+def _seed() -> int:
+    """Process-unique data seed: the tunnel's remote execution service
+    can serve cross-process CACHED results for (executable, input) pairs
+    it has seen, so fixed-seed timing loops can measure memory reads
+    (CLAUDE.md gotcha)."""
+    import os as _os
+    import time as _time
+
+    return (_os.getpid() * 1_000_003 + int(_time.time())) & 0x7FFFFFFF
+
+
 def run(n=2048, nrns=4, batch_per_dev=64, platform=None, max_devices=None):
     import os
 
@@ -41,7 +53,7 @@ def run(n=2048, nrns=4, batch_per_dev=64, platform=None, max_devices=None):
     devs = jax.devices()
     if max_devices:
         devs = devs[:max_devices]
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(_seed())
     results = []
     sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= len(devs)]
     base_rate = None
@@ -98,7 +110,7 @@ def run_bgv(m=4096, nrns=3, batch_per_dev=64, platform=None, max_devices=None):
 
     qs = tuple(nt.ntt_primes(m, 30, nrns))
     params = she.SHEParams(m=m, p=257, qs=qs, var=2.0)
-    sk = she.gen_sk(params, jax.random.PRNGKey(0))
+    sk = she.gen_sk(params, jax.random.PRNGKey(_seed()))
     hint = she.ks_quad_circ_hint(sk, gd.RnsGad(), jax.random.PRNGKey(1))
     bb = BatchedBGV(params, use_pallas=jax.default_backend() == "tpu")
     step = bb.build_step(hint)
@@ -106,7 +118,7 @@ def run_bgv(m=4096, nrns=3, batch_per_dev=64, platform=None, max_devices=None):
     devs = jax.devices()
     if max_devices:
         devs = devs[:max_devices]
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(_seed())
     results, base_rate = [], None
     for nd in [d for d in (1, 2, 4, 8, 16, 32) if d <= len(devs)]:
         mesh = sh.make_mesh({"data": nd, "rns": 1}, devices=devs)

@@ -14,6 +14,18 @@ import time
 import numpy as np
 
 
+
+def _seed() -> int:
+    """Process-unique data seed: the tunnel's remote execution service
+    can serve cross-process CACHED results for (executable, input) pairs
+    it has seen, so fixed-seed timing loops can measure memory reads
+    (CLAUDE.md gotcha)."""
+    import os as _os
+    import time as _time
+
+    return (_os.getpid() * 1_000_003 + int(_time.time())) & 0x7FFFFFFF
+
+
 def run(m: int = 8192, nrns: int = 3, batch: int = 2048, p: int = 257,
         iters: int = 20):
     import jax
@@ -24,7 +36,7 @@ def run(m: int = 8192, nrns: int = 3, batch: int = 2048, p: int = 257,
 
     qs = tuple(nt.ntt_primes(m, 30, nrns))
     params = she.SHEParams(m=m, p=p, qs=qs, var=2.0)
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(_seed())
     ks, kh = jax.random.split(key)
     sk = she.gen_sk(params, ks)
     bb = BatchedBGV(params)
@@ -37,7 +49,7 @@ def run(m: int = 8192, nrns: int = 3, batch: int = 2048, p: int = 257,
     arrs = [
         jnp.stack([
             jax.random.randint(k, (n, batch), 0, q, dtype=jnp.uint32)
-            for k, q in zip(jax.random.split(jax.random.PRNGKey(9 + i), nrns), qs)
+            for k, q in zip(jax.random.split(jax.random.PRNGKey(_seed() ^ (9 + i)), nrns), qs)
         ])
         for i in range(4)
     ]
