@@ -155,13 +155,15 @@ class Cyc:
         lifted = self.lift_ints()
         return Cyc.from_ints(ctx2, lifted)
 
-    def rescale_drop_last(self) -> "Cyc":
+    def rescale_drop_last(self, rep: Rep = Rep.POW) -> "Cyc":
         """Exact RNS modulus switch Q -> Q/q_last (Lol rescaleCyc on a
-        pair modulus).  Must happen in a coefficient basis (POW/DEC) —
-        rounding is coefficient-wise."""
-        c = self.to_pow()
+        pair modulus).  Rounding is coefficient-wise, so a coefficient
+        basis must be chosen; Lol's RescaleCyc has both instances —
+        rep=POW (default) or rep=DEC (the error-minimizing choice for
+        general m; identical for 2-power m where the bases coincide)."""
+        c = self.to_dec() if rep is Rep.DEC else self.to_pow()
         ctx2 = rg.ring_context(self.ctx.m, self.ctx.basis.qs[:-1])
-        return Cyc(ctx2, Rep.POW, self.ctx.basis.rescale_drop_last(c.data))
+        return Cyc(ctx2, rep, self.ctx.basis.rescale_drop_last(c.data))
 
     # --- subring ops ----------------------------------------------------
     def embed(self, sup_ctx: RingContext) -> "Cyc":

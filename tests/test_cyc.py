@@ -160,6 +160,34 @@ def _centered(v, q):
     return r - q if r >= (q + 1) // 2 else r
 
 
+def test_rescale_cyc_dec_basis(rng):
+    """rescale_drop_last(rep=DEC): rounding happens on DECODING-basis
+    coefficients (Lol's RescaleCyc D instance).  Defining property per
+    coefficient: ql * c' = c - r with r's dec coefficients centered mod
+    ql.  For 2-power m it coincides with the POW variant."""
+    from lol_tpu import numtheory as nt
+
+    # general m: POW and DEC rounding genuinely differ
+    m = 36
+    qs = tuple(nt.ntt_primes(m, 30, 2))
+    ctx = ring_context(m, qs)
+    ql = qs[-1]
+    a_ints = rng.integers(-10**6, 10**6, ctx.n)
+    a = Cyc.from_ints(ctx, a_ints, rep=Rep.DEC)
+    r = a.rescale_drop_last(rep=Rep.DEC)
+    assert r.rep is Rep.DEC and r.ctx.basis.qs == qs[:-1]
+    lifted = r.lift_ints(rep=Rep.DEC)
+    for got, v in zip(lifted, a_ints):
+        want = (int(v) - _centered(int(v), ql)) // ql
+        assert int(got) == want
+    # 2-power: both variants agree (bases coincide)
+    a2_ints = rng.integers(-10**6, 10**6, CTX.n)
+    a2 = Cyc.from_ints(CTX, a2_ints)
+    np.testing.assert_array_equal(
+        a2.rescale_drop_last().data, a2.rescale_drop_last(rep=Rep.DEC).data
+    )
+
+
 # ---------------------------------------------------------------------------
 # E-route multiplication (Lol UCyc rep E / CRTEmbed) for CRT-less moduli
 # ---------------------------------------------------------------------------
