@@ -113,3 +113,24 @@ def test_sub_tile_lanes(rng):
         pk.ntt_cm(jnp.asarray(a), plan, lanes=64, interpret=True)
     )
     np.testing.assert_array_equal(got, ntt.np_ntt_forward(a.T, plan).T)
+
+
+@pytest.mark.parametrize("B", [128, 256])
+def test_pointwise_ct_mul_matches_xla(B, rng):
+    """Fused elementwise ct_mul kernel == the XLA channel math, bit-exact
+    (SURVEY native component 10 — zipWithT as a fused VMEM kernel)."""
+    from lol_tpu.ops.pallas import pointwise as pw
+
+    n, q = 512, nt.ntt_primes(1024, 30, 1)[0]
+    arrs = [
+        jnp.asarray(rng.integers(0, q, (n, B), dtype=np.uint64).astype(np.uint32))
+        for _ in range(4)
+    ]
+    c0, c1, d0, d1 = arrs
+    e0, e1, e2 = pw.ct_mul_cm(c0, c1, d0, d1, q, interpret=True)
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(zq.mul_mod(c0, d0, q)))
+    np.testing.assert_array_equal(
+        np.asarray(e1),
+        np.asarray(zq.add_mod(zq.mul_mod(c0, d1, q), zq.mul_mod(c1, d0, q), q)),
+    )
+    np.testing.assert_array_equal(np.asarray(e2), np.asarray(zq.mul_mod(c1, d1, q)))
