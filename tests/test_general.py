@@ -10,7 +10,10 @@ from lol_tpu import numtheory as nt, zq
 from lol_tpu.factored import fact
 from lol_tpu.ops import general as gen
 
-MS = [3, 5, 8, 9, 12, 16, 21, 24, 36, 45, 51, 60]  # 51 = 3*17: phi-16 axis hits the MXU auto path
+# 51 = 3*17: phi-16 axis hits the MXU auto path; 42 = 2*3*7 (three prime
+# factors), 49 = 7^2 (odd prime square), 89 (large prime): SURVEY §5's
+# named grid shapes (F42/F89-style indices)
+MS = [3, 5, 8, 9, 12, 16, 21, 24, 36, 42, 45, 49, 51, 60, 89]
 
 
 def q_for(m: int) -> int:
