@@ -121,6 +121,19 @@ def run(n: int = 4096, batch: int = 1024, nrns: int = 2, use_tpu=True):
     pars = she.SHEParams(m=2 * n, p=257, qs=tuple(qs), var=2.0)
     sk = she.gen_sk(pars, jax.random.PRNGKey(1))
     bbp = BatchedBGV(pars)
+
+    # batched serving-path decrypts + noise extraction (r3 additions);
+    # component stacks are (nrns, n, B) coefficient-major
+    ccm = jnp.transpose(xr, (1, 2, 0))  # (batch, nrns, n) -> (nrns, n, B)
+    dec_l = bbp.build_decrypt(sk)
+    dec_m = bbp.build_decrypt(sk, encoding="msd")
+    nbits = bbp.build_noise_bits(sk)
+    add("decrypt (lsd, device)", "device", _time(dec_l, (ccm, ccm)),
+        count=batch)
+    add("decrypt (msd, device)", "device", _time(dec_m, (ccm, ccm)),
+        count=batch)
+    add("noise_bits (device)", "device", _time(nbits, (ccm, ccm)),
+        count=batch)
     add(
         "hintGen (quad)", "device",
         _time(lambda k: bbp.gen_ks_quad_hint(sk, k),

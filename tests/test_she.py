@@ -196,10 +196,11 @@ def test_pt_mul_matches_schoolbook(rng):
     )
 
 
-def test_she_general_m(rng):
-    """BGV over a non-2-power cyclotomic (m = 36 = 2^2 * 3^2)."""
-    m_idx = 36
-    qs = tuple(nt.ntt_primes(36, 30, 2))
+@pytest.mark.parametrize("m_idx", [36, 42])
+def test_she_general_m(m_idx, rng):
+    """BGV over non-2-power cyclotomics: m = 36 = 2^2*3^2 and
+    m = 42 = 2*3*7 (three distinct prime factors)."""
+    qs = tuple(nt.ntt_primes(m_idx, 30, 2))
     params = she.SHEParams(m=m_idx, p=5, qs=qs, var=3.0)
     sk = she.gen_sk(params, jax.random.PRNGKey(9))
     m1 = she.pt_random(params, rng)
@@ -233,6 +234,29 @@ def _pt_mul_general(params, a, b):
         Cyc.from_ints(ctx, a, rep=_Rep.DEC) * Cyc.from_ints(ctx, b, rep=_Rep.DEC)
     ).lift_ints(rep=_Rep.DEC)
     return np.array([int(v) % params.p for v in prod], dtype=np.int64)
+
+
+def test_msd_general_m(rng):
+    """MSD encoding at a composite index: roundtrip, hom add, and the
+    MSD*MSD multiply (object path; Delta = Q//p is a big int even at
+    small m once the chain has 2+ primes)."""
+    m_idx = 36
+    qs = tuple(nt.ntt_primes(m_idx, 30, 2))
+    params = she.SHEParams(m=m_idx, p=5, qs=qs, var=2.0)
+    sk = she.gen_sk(params, jax.random.PRNGKey(140))
+    m1, m2 = she.pt_random(params, rng), she.pt_random(params, rng)
+    c1 = she.encrypt_msd(sk, m1, jax.random.PRNGKey(141))
+    c2 = she.encrypt_msd(sk, m2, jax.random.PRNGKey(142))
+    np.testing.assert_array_equal(she.decrypt(sk, c1), m1)
+    np.testing.assert_array_equal(
+        she.decrypt(sk, she.ct_add(c1, c2)), she.pt_add(params, m1, m2)
+    )
+    hint = she.ks_quad_circ_hint(sk, gd.RnsGad(), jax.random.PRNGKey(143))
+    lin = she.key_switch_quad_circ(hint, she.ct_mul(c1, c2))
+    assert lin.encoding == "msd"
+    np.testing.assert_array_equal(
+        she.decrypt(sk, lin), she.pt_mul(params, m1, m2)
+    )
 
 
 def test_msd_encoding_roundtrip_and_add(rng):
