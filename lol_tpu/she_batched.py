@@ -11,7 +11,11 @@ constants, and one `step()` performs
     ct_mul (CRT Hadamards) -> RNS-gadget key switch -> exact BGV rescale
 
 entirely on device.  Bit-exact vs the she.py path (same arithmetic, same
-decomposition and rescale formulas) — tested column-by-column.
+decomposition and rescale formulas) — tested column-by-column.  The
+pipeline covers BOTH encodings (encoding="msd": in-kernel toLSD for the
+step, exact Garner-digit scaled-rounding decrypt) and BOTH ring shapes
+(2-power and composite m via the per-ring CRT dispatch), with batched
+device noise tracking (build_error_term / build_noise_bits).
 
 Also fully device-resident here (reference call stacks SURVEY.md §4):
   - `build_decrypt`:  c(s) eval + Garner mixed-radix centered lift mod p
@@ -337,6 +341,9 @@ class BatchedBGV:
         s_crt, s_sh = _crt_const_sh(she.Cyc.from_ints(self.ctx, sk.s_ints), qs)
         finv = nt.modinv(f % p, p)
         Q = basis.modulus
+        if msd and Q % 2 == 0:
+            raise ValueError("MSD decrypt's rounding identity needs odd Q "
+                             "(every NTT-prime chain is)")
         half = (Q - 1) // 2
         # per-channel constants of u = p*x + half (+ Shoup for the p mult)
         u_consts = [
