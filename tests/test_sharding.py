@@ -122,6 +122,10 @@ def test_remote_ntt_overlap_matches_unfused(rng):
     np.testing.assert_array_equal(
         np.asarray(got), ntt.np_ntt_forward(x.reshape(-1, N), plan).reshape(x.shape)
     )
+    # inverse (send-side) overlap: round-trips the forward bit-exactly
+    back = rn.intt_ring_sharded_pallas(mesh, got, plan, interpret=True,
+                                       overlap=True)
+    np.testing.assert_array_equal(np.asarray(back), x)
 
 
 def test_sharded_bgv_step_32k(rng):
