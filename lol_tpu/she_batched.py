@@ -469,6 +469,60 @@ class BatchedBGV:
 
         return bits
 
+    # --- batched public-operand ops (she.add_public / she.mul_public) ------
+    def build_add_public(self, f: int = 1, encoding: str = "lsd"):
+        """jit-compiled (c0, c1, m_pub) -> (c0', c1): ct + public
+        plaintext (she.add_public, batched).  m_pub: (n, B) int32
+        decoding-basis coefficients mod p (or (n, 1) to broadcast one
+        public value over the batch).  The appropriately-scaled encoding
+        (f*m_pub for LSD, Delta*[f*m_pub]_p for MSD) is added to c0."""
+        qs = self.qs
+        p = self.params.p
+        msd = _check_encoding(encoding) == "msd"
+        delta = self.ctx.basis.modulus // p
+        d_res = [(delta % q, zq.shoup(delta % q, q)) for q in qs]
+        fc = f % p
+
+        @jax.jit
+        def addp(c0, c1, m_pub):
+            sc = zq.mul_mod(
+                jnp.mod(m_pub, p).astype(jnp.uint32), jnp.uint32(fc), p
+            )
+            if msd:
+                enc = jnp.stack([
+                    zq.mul_mod_shoup(sc, jnp.uint32(dc), jnp.uint32(dsh), q)
+                    for q, (dc, dsh) in zip(qs, d_res)
+                ])
+            else:
+                enc = jnp.stack([sc.astype(jnp.uint32) for _ in qs])
+            enc = self._ntt(self._l(enc))
+            enc = jnp.broadcast_to(enc, c0.shape)
+            return _addmod_ch(qs, c0, enc), c1
+
+        return addp
+
+    def build_mul_public(self):
+        """jit-compiled (c0, c1, m_pub) -> (c0', c1'): ct * public
+        plaintext (she.mul_public, batched; encoding-agnostic).  Both
+        components are multiplied by the CRT transform of the centered
+        lift of m_pub ((n, B) int32 mod p, or (n, 1) broadcast)."""
+        qs = self.qs
+        p = self.params.p
+        half = (p + 1) // 2
+
+        @jax.jit
+        def mulp(c0, c1, m_pub):
+            m = jnp.mod(m_pub, p).astype(jnp.int32)
+            lifted = jnp.where(m >= half, m - p, m)  # centered in (-p/2, p/2]
+            res = jnp.stack([
+                jnp.mod(lifted, q).astype(jnp.uint32) for q in qs
+            ])
+            w = self._ntt(self._l(res))
+            w = jnp.broadcast_to(w, c0.shape)
+            return _mulmod_ch(qs, c0, w), _mulmod_ch(qs, c1, w)
+
+        return mulp
+
     # --- batched encoding switches (she.to_lsd / she.to_msd) ---------------
     def build_to_lsd(self):
         """jit-compiled (c0, c1) -> (c0', c1'): MSD -> LSD, components

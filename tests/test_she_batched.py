@@ -313,6 +313,50 @@ def test_batched_msd_step_matches_object_path(rng):
     )
 
 
+def test_batched_public_ops(rng):
+    """build_add_public / build_mul_public == she.add_public /
+    she.mul_public component-wise, LSD and MSD, incl. f != 1 and the
+    (n, 1) broadcast form."""
+    import jax.numpy as jnp
+
+    sk = she.gen_sk(PARAMS, jax.random.PRNGKey(150))
+    bb = BatchedBGV(PARAMS)
+    n, B = PARAMS.ctx.n, 3
+    pub = rng.integers(0, PARAMS.p, (n, B)).astype(np.int32)
+    for encoding, mk in (("lsd", she.encrypt), ("msd", she.encrypt_msd)):
+        cts = [mk(sk, she.pt_random(PARAMS, rng),
+                  jax.random.PRNGKey(151 + b)) for b in range(B)]
+        if encoding == "lsd":  # non-trivial scale factor via mod_switch-less align
+            cts = [she.ct_add(ct, ct) for ct in cts]
+        c0, c1 = bb.pack(cts)
+        f = cts[0].f
+        a0, a1 = bb.build_add_public(f=f, encoding=encoding)(
+            c0, c1, jnp.asarray(pub)
+        )
+        m0, m1c = bb.build_mul_public()(c0, c1, jnp.asarray(pub))
+        for b in range(B):
+            ref_a = she.add_public(cts[b], pub[:, b])
+            ref_m = she.mul_public(cts[b], pub[:, b])
+            np.testing.assert_array_equal(
+                np.asarray(a0)[..., b], np.asarray(ref_a.cs[0].to_crt().data)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(a1)[..., b], np.asarray(ref_a.cs[1].to_crt().data)
+            )
+            for got, comp in ((m0, 0), (m1c, 1)):
+                np.testing.assert_array_equal(
+                    np.asarray(got)[..., b],
+                    np.asarray(ref_m.cs[comp].to_crt().data),
+                )
+    # broadcast form: one public value over the whole batch
+    one = pub[:, :1]
+    b0, b1 = bb.build_mul_public()(c0, c1, jnp.asarray(one))
+    ref = she.mul_public(cts[1], one[:, 0])
+    np.testing.assert_array_equal(
+        np.asarray(b0)[..., 1], np.asarray(ref.cs[0].to_crt().data)
+    )
+
+
 def test_batched_encoding_switches(rng):
     """build_to_lsd / build_to_msd match she.to_lsd / she.to_msd
     component-wise, with the to_lsd_f / to_msd_f scale bookkeeping."""
