@@ -469,6 +469,38 @@ class BatchedBGV:
 
         return bits
 
+    # --- batched ct +/- ct (she.ct_add / ct_sub with scale alignment) ------
+    def build_add(self, f_a: int = 1, f_b: int = 1, sub: bool = False):
+        """jit-compiled (c0, c1, d0, d1) -> (e0, e1): ct_a +/- ct_b for
+        degree-1 cts with scale factors f_a, f_b (she._align + ct_add:
+        the second operand is scaled by the centered u = f_a * f_b^{-1}
+        mod p so both carry scale f_a; output scale is f_a).  Works for
+        both encodings (the alignment math is encoding-uniform)."""
+        qs = self.qs
+        p = self.params.p
+        u = f_a * nt.modinv(f_b % p, p) % p
+        if u >= (p + 1) // 2:
+            u -= p
+        u_res = [((u % q), zq.shoup(u % q, q)) for q in qs]
+        ident = u == 1
+
+        @jax.jit
+        def addf(c0, c1, d0, d1):
+            if not ident:
+                d0, d1 = (
+                    jnp.stack([
+                        zq.mul_mod_shoup(
+                            x[i], jnp.uint32(uc), jnp.uint32(ush), q
+                        )
+                        for i, (q, (uc, ush)) in enumerate(zip(qs, u_res))
+                    ])
+                    for x in (d0, d1)
+                )
+            op = _submod_ch if sub else _addmod_ch
+            return op(qs, c0, d0), op(qs, c1, d1)
+
+        return addf
+
     # --- batched public-operand ops (she.add_public / she.mul_public) ------
     def build_add_public(self, f: int = 1, encoding: str = "lsd"):
         """jit-compiled (c0, c1, m_pub) -> (c0', c1): ct + public

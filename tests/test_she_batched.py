@@ -313,6 +313,46 @@ def test_batched_msd_step_matches_object_path(rng):
     )
 
 
+def test_batched_add_sub_aligned(rng):
+    """build_add/sub with mismatched scale factors == she.ct_add/ct_sub
+    (the centered-u alignment), component-wise bit-exact."""
+    import jax.numpy as jnp
+
+    sk = she.gen_sk(PARAMS, jax.random.PRNGKey(160))
+    bb = BatchedBGV(PARAMS)
+    B = 3
+    cts_a = [she.encrypt(sk, she.pt_random(PARAMS, rng),
+                         jax.random.PRNGKey(161 + b)) for b in range(B)]
+    # give the second operands a different scale factor via mod-switch
+    cts_b0 = [she.encrypt(sk, she.pt_random(PARAMS, rng),
+                          jax.random.PRNGKey(170 + b)) for b in range(B)]
+    params2 = she.SHEParams(m=M, p=PARAMS.p, qs=QS[:-1], var=PARAMS.var)
+    bb2 = BatchedBGV(params2)
+    cts_a2 = [she.mod_switch(ct) for ct in cts_a]  # f = ql^-1 mod p
+    # distinct f on the b side: scale components by 3 and fold into f
+    # (c(s) = 3f m' + p e' with m' = 3^-1 m... the pair (3*cs, 3f) is a
+    # valid ciphertext of the same message at scale 3f)
+    cts_b2 = [
+        she.CT(ct.params, ct.ctx, tuple(c * 3 for c in ct.cs),
+               f=3 * ct.f % PARAMS.p)
+        for ct in (she.mod_switch(ct) for ct in cts_b0)
+    ]
+    fa, fb = cts_a2[0].f, cts_b2[0].f
+    assert fa != fb
+    c0, c1 = bb2.pack(cts_a2)
+    d0, d1 = bb2.pack(cts_b2)
+    for sub in (False, True):
+        e0, e1 = bb2.build_add(f_a=fa, f_b=fb, sub=sub)(c0, c1, d0, d1)
+        for b in range(B):
+            ref = (she.ct_sub if sub else she.ct_add)(cts_a2[b], cts_b2[b])
+            assert ref.f == fa
+            for got, comp in ((e0, 0), (e1, 1)):
+                np.testing.assert_array_equal(
+                    np.asarray(got)[..., b],
+                    np.asarray(ref.cs[comp].to_crt().data),
+                )
+
+
 def test_batched_public_ops(rng):
     """build_add_public / build_mul_public == she.add_public /
     she.mul_public component-wise, LSD and MSD, incl. f != 1 and the
