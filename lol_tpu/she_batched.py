@@ -425,6 +425,8 @@ class BatchedBGV:
         zeroed low digits for chains over ~8 primes); dropped groups
         contribute < 2^-36 relative.  Matches the host noise_bits to
         float32 accuracy (asserted by the cross test)."""
+        import math
+
         qs = self.qs
         basis = self.ctx.basis
         err = self.build_error_term(sk)
@@ -433,7 +435,13 @@ class BatchedBGV:
         W = 1
         for j, q in enumerate(qs):
             g = (W.bit_length() - 1) // GB
-            groups.setdefault(g, []).append((j, float(W) / float(2 ** (GB * g))))
+            # W / 2^(GB*g) scaled in the integer domain first: float(W)
+            # alone would overflow for W > ~2^1024 (ADVICE r3), capping
+            # "arbitrarily long chains" at ~34 thirty-bit primes
+            sh = max(0, W.bit_length() - 53)
+            groups.setdefault(g, []).append(
+                (j, math.ldexp(float(W >> sh), sh - GB * g))
+            )
             W *= q
         gmax = max(groups)
 

@@ -470,6 +470,17 @@ def test_batched_noise_long_chain(rng):
         np.testing.assert_allclose(bits[b], want, rtol=2e-5, atol=2e-5)
 
 
+def test_noise_bits_builds_for_very_long_chain():
+    """Regression (ADVICE r3): the group-weight computation once called
+    float(W) on the running chain product, overflowing for W > ~2^1024
+    (chains over ~34 thirty-bit primes).  Building the closure is enough
+    to trigger the old failure."""
+    qs40 = tuple(nt.ntt_primes(M, 30, 40))
+    params40 = she.SHEParams(m=M, p=257, qs=qs40, var=2.0)
+    sk40 = she.gen_sk(params40, jax.random.PRNGKey(140))
+    BatchedBGV(params40).build_noise_bits(sk40)  # must not raise
+
+
 def test_batched_general_m_pipeline(rng):
     """Config-3 shape through the SERVING path (VERDICT r2 #4): at a
     composite m = 72 = 2^3 * 3^2, batched encrypt (L then CRT), fused
