@@ -186,8 +186,9 @@ def bench_bgv(m, nrns, batch, iters, p=257):
     return n, batch * iters / (time.time() - t0)
 
 
-def bench_tunnel(m_r, m_s, nrns, batch, iters):
-    """Fused device ring tunneling R -> S (E = S tower descent), ops/sec."""
+def bench_tunnel(m_r, m_s, nrns, batch, iters, p=257):
+    """Fused device ring tunneling R -> S (E = S tower descent), ops/sec.
+    Works for 2-power AND composite towers (general-m device keygen)."""
     import jax
     import jax.numpy as jnp
 
@@ -197,8 +198,8 @@ def bench_tunnel(m_r, m_s, nrns, batch, iters):
     from lol_tpu.she_batched import BatchedBGV
 
     qs = tuple(nt.ntt_primes(m_r, 30, nrns))
-    pr = she.SHEParams(m=m_r, p=257, qs=qs, var=2.0)
-    ps = she.SHEParams(m=m_s, p=257, qs=qs, var=2.0)
+    pr = she.SHEParams(m=m_r, p=p, qs=qs, var=2.0)
+    ps = she.SHEParams(m=m_s, p=p, qs=qs, var=2.0)
     kr, ks_, kh = jax.random.split(jax.random.PRNGKey(5), 3)
     _mark(f"tunnel m={m_r}->{m_s}: gen_sks")
     sk_r = she.gen_sk(pr, kr)
@@ -254,6 +255,12 @@ def main():
     tunnel_rate = bench_tunnel(
         m_she, m_she // 2, nrns=3, batch=batch, iters=iters
     )
+    # general-m tower tunneling with DEVICE-generated hints (r3 #1):
+    # m = 2^11*3^2 -> 2^10*3^2 at config-3 scale
+    m_gt = (18432, 9216) if on_tpu else (72, 36)
+    tunnel_gen_rate = bench_tunnel(
+        m_gt[0], m_gt[1], nrns=3, batch=batch, iters=iters, p=7
+    )
     baseline = 1_000_000.0
     print(
         json.dumps(
@@ -276,6 +283,8 @@ def main():
                 "bgv_general_n": n_gen,
                 "tunnel_ops_per_sec": round(tunnel_rate),
                 "tunnel_rings": f"m={m_she}->m={m_she // 2}",
+                "tunnel_general_m_ops_per_sec": round(tunnel_gen_rate),
+                "tunnel_general_m_rings": f"m={m_gt[0]}->m={m_gt[1]}",
             }
         )
     )

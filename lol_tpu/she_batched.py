@@ -615,6 +615,114 @@ class BatchedBGV:
             return self.to_lsd_f(fc * fd % p)
         return fc * fd * nt.modinv(self.qs[-1] % p, p) % p
 
+    # --- the exact BGV rescale (modSwitch primitive) ------------------------
+    def _rescale_crt(self, encoding: str = "lsd", mesh=None):
+        """One-component exact BGV drop-last rescale computed IN the CRT
+        domain: only the dropped channel is inverse-transformed; the
+        correction polynomial delta (p * centered [c p^-1]_{ql} for
+        LSD, plain centered [c]_{ql} for MSD round-to-nearest) is
+        forward-transformed into each surviving channel (every op is
+        a ring hom mod q_i, so the result is bit-identical to
+        iNTT -> coeff rescale -> NTT, at nrns transforms instead of
+        2*nrns - 1).  All scalar constants carry Shoup companions.
+        (Routing the re-expansion through the pre_digit kernel
+        prologue — the tunnel's +33% trick — measured ~3% SLOWER
+        here: delta is a single cheap fused XLA pass, and the
+        prologue variant of the cross kernel costs more than the
+        pass it saves.  Kept explicit.)"""
+        qs = self.qs
+        nrns = len(qs)
+        p = self.params.p
+        msd = _check_encoding(encoding) == "msd"
+        ql = qs[-1]
+        pinv_l = nt.modinv(p % ql, ql)
+
+        def _gathered(x):
+            if mesh is None:
+                return x
+            spec = (None,) * (x.ndim - 1) + ("data",)
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(*spec))
+            )
+
+        def rescale(comp):
+            last_c = self._crt_one(comp[-1], nrns - 1, inverse=True)
+            if msd:
+                v = last_c
+            else:
+                v = zq.mul_mod_shoup(
+                    last_c, jnp.uint32(pinv_l),
+                    jnp.uint32(zq.shoup(pinv_l, ql)), ql,
+                )
+            v = _gathered(v)
+            is_high = v >= jnp.uint32((ql + 1) // 2)
+            chans = []
+            for i, qi in enumerate(qs[:-1]):
+                inv = nt.modinv(ql % qi, qi)
+                vi = zq.reduce_mod(v, qi)
+                vi = jnp.where(
+                    is_high, zq.sub_mod(vi, jnp.uint32(ql % qi), qi), vi
+                )
+                delta = vi if msd else zq.mul_mod_shoup(
+                    vi, jnp.uint32(p % qi),
+                    jnp.uint32(zq.shoup(p % qi, qi)), qi,
+                )
+                nd = self._crt_one(delta, i)
+                d = zq.sub_mod(comp[i], nd, qi)
+                chans.append(zq.mul_mod_shoup(
+                    d, jnp.uint32(inv), jnp.uint32(zq.shoup(inv, qi)), qi,
+                ))
+            return jnp.stack(chans)
+
+        return rescale
+
+    def build_mod_switch(self, encoding: str = "lsd", mesh=None):
+        """jit-compiled (c0, c1) -> (e0, e1) over the dropped-prime
+        chain: the standalone exact BGV modulus switch (she.mod_switch,
+        batched — VERDICT r3 #4; additive-only serving workloads pay
+        this instead of the full mul step).  Track the LSD scale with
+        `mod_switch_f` (MSD leaves f unchanged)."""
+        rescale = self._rescale_crt(encoding=encoding, mesh=mesh)
+
+        @jax.jit
+        def ms(c0, c1):
+            return rescale(c0), rescale(c1)
+
+        return ms
+
+    def mod_switch_f(self, f: int) -> int:
+        """Scale-factor update matching build_mod_switch (LSD: the
+        rescale multiplies the message by q_last^{-1} mod p)."""
+        p = self.params.p
+        return f * nt.modinv(self.qs[-1] % p, p) % p
+
+    # --- standalone batched linear key switch (re-encryption) ---------------
+    def build_key_switch_linear(self, hint: she.KSHint):
+        """jit-compiled (c0, c1) -> (e0, e1): re-encrypt a degree-1 ct
+        from the hint's old key to its new key (she.key_switch_linear,
+        batched; encoding-uniform — VERDICT r3 #4).  The digit path is
+        build_galois's with the identity permutation:
+        e0 = c0 + sum_i d_i h0_i, e1 = sum_i d_i h1_i, with the digit
+        re-expansion fused into each channel's forward transform."""
+        if not isinstance(hint.spec, RnsGad):
+            raise ValueError("batched pipeline uses the RNS gadget")
+        qs = self.qs
+        nrns = len(qs)
+        h0, h0s = _hint_const_sh(hint.h0, qs)
+        h1, h1s = _hint_const_sh(hint.h1, qs)
+
+        @jax.jit
+        def ksl(c0, c1):
+            c1c = self._ntt(c1, inverse=True)
+            e0, e1 = c0, jnp.zeros_like(c1)
+            for i in range(nrns):
+                di = self._digit_crt(c1c[i], i, c1, qs)
+                e0 = _addmod_ch(qs, e0, _mulmod_sh_ch(qs, di, h0[i], h0s[i]))
+                e1 = _addmod_ch(qs, e1, _mulmod_sh_ch(qs, di, h1[i], h1s[i]))
+            return e0, e1
+
+        return ksl
+
     # --- the fused mul+keyswitch+rescale step -------------------------------
     def build_step(self, hint: she.KSHint, mesh=None, encoding: str = "lsd"):
         """jit-compiled (c0,c1,d0,d1) -> (e0,e1) over the dropped-prime
@@ -659,50 +767,7 @@ class BatchedBGV:
                 x, NamedSharding(mesh, P(*spec))
             )
 
-        ql = qs[-1]
-        pinv_l = nt.modinv(p % ql, ql)
-
-        def rescale_crt(comp):
-            """Exact BGV drop-last rescale computed IN the CRT domain:
-            only the dropped channel is inverse-transformed; the
-            correction polynomial delta (p * centered [c p^-1]_{ql} for
-            LSD, plain centered [c]_{ql} for MSD round-to-nearest) is
-            forward-transformed into each surviving channel (every op is
-            a ring hom mod q_i, so the result is bit-identical to
-            iNTT -> coeff rescale -> NTT, at nrns transforms instead of
-            2*nrns - 1).  All scalar constants carry Shoup companions.
-            (Routing the re-expansion through the pre_digit kernel
-            prologue — the tunnel's +33% trick — measured ~3% SLOWER
-            here: delta is a single cheap fused XLA pass, and the
-            prologue variant of the cross kernel costs more than the
-            pass it saves.  Kept explicit.)"""
-            last_c = self._crt_one(comp[-1], nrns - 1, inverse=True)
-            if msd:
-                v = last_c
-            else:
-                v = zq.mul_mod_shoup(
-                    last_c, jnp.uint32(pinv_l),
-                    jnp.uint32(zq.shoup(pinv_l, ql)), ql,
-                )
-            v = _gathered(v)
-            is_high = v >= jnp.uint32((ql + 1) // 2)
-            chans = []
-            for i, qi in enumerate(qs[:-1]):
-                inv = nt.modinv(ql % qi, qi)
-                vi = zq.reduce_mod(v, qi)
-                vi = jnp.where(
-                    is_high, zq.sub_mod(vi, jnp.uint32(ql % qi), qi), vi
-                )
-                delta = vi if msd else zq.mul_mod_shoup(
-                    vi, jnp.uint32(p % qi),
-                    jnp.uint32(zq.shoup(p % qi, qi)), qi,
-                )
-                nd = self._crt_one(delta, i)
-                d = zq.sub_mod(comp[i], nd, qi)
-                chans.append(zq.mul_mod_shoup(
-                    d, jnp.uint32(inv), jnp.uint32(zq.shoup(inv, qi)), qi,
-                ))
-            return jnp.stack(chans)
+        rescale_crt = self._rescale_crt(encoding=encoding, mesh=mesh)
 
         @jax.jit
         def step(c0, c1, d0, d1):
@@ -919,16 +984,18 @@ class BatchedBGV:
                         key) -> she.TunnelHint:
         """Device-generated ring-tunneling hint set (she.tunnel_hint).
 
-        Targets f(b_i * s_R) are exact host numpy (b_i * s_R is a
-        negacyclic monomial shift of the secret's integer coefficients;
-        evalLin is gather + embed-scatter + np NTT + Hadamard per
-        relative basis element); all d*ell gadget hints then come from
-        one device call.  2-power towers only."""
+        Targets f(b_i * s_R) are exact host numpy; all d*ell gadget
+        hints then come from one device call.  2-power towers: b_i * s_R
+        is a negacyclic monomial shift of the secret's integer
+        coefficients, and evalLin is gather + embed-scatter + np NTT +
+        Hadamard per relative basis element.  General-m towers
+        (VERDICT r3 #1): every step is a ring hom mod q, so the targets
+        are computed per channel — b_i * s_R as a CRT Hadamard with the
+        monomial's np CRT over R, inverse-CRT to POW, then the same
+        gather / embed-scatter / np CRT over S / Hadamard with ys."""
         r_ctx, s_ctx, e_ctx = lin.r_ctx, lin.s_ctx, lin.e_ctx
         if r_ctx != self.ctx:
             raise ValueError("gen_tunnel_hint: pipeline ring != source ring")
-        if not (r_ctx.fm.is_pow2() and s_ctx.fm.is_pow2()):
-            raise ValueError("gen_tunnel_hint: 2-power towers only")
         qs = self.qs
         nrns = len(qs)
         n_r, n_s = r_ctx.n, s_ctx.n
@@ -937,28 +1004,58 @@ class BatchedBGV:
         pos = gen.rel_pow_basis_positions(e_ctx.m, r_ctx.m)  # (d,)
         d = coeff_tbl.shape[0]
         ys_crt = [_cyc_crt_np(y) for y in lin.ys]
-        s_plans = s_ctx.ntt_plans()
         s_ints = np.asarray(sk_r.s_ints, dtype=np.int64)
 
         from .ops import ntt as ntt_mod
 
-        targets = []
-        for i in range(d):
-            sh = _monomial_mul_np(s_ints, int(pos[i]), n_r)  # b_i * s_R
-            tgt = np.zeros((nrns, n_s), dtype=np.uint32)
-            for k_rel in range(d):
-                a_k = sh[coeff_tbl[k_rel]]  # (n_e,) rel coeff over E
-                emb = np.zeros(n_s, dtype=np.int64)
-                emb[embed_tbl] = a_k
-                for ch, q in enumerate(qs):
-                    crt = ntt_mod.np_ntt_forward(
-                        np.mod(emb, q).astype(np.uint32)[None], s_plans[ch]
-                    )[0]
-                    prod = zq.np_mul_mod(crt, ys_crt[k_rel][ch], q)
-                    tgt[ch] = ((tgt[ch].astype(np.int64) + prod) % q).astype(
-                        np.uint32
-                    )
-            targets.append(tgt)
+        if r_ctx.fm.is_pow2() and s_ctx.fm.is_pow2():
+            s_plans = s_ctx.ntt_plans()
+            targets = []
+            for i in range(d):
+                sh = _monomial_mul_np(s_ints, int(pos[i]), n_r)  # b_i * s_R
+                tgt = np.zeros((nrns, n_s), dtype=np.uint32)
+                for k_rel in range(d):
+                    a_k = sh[coeff_tbl[k_rel]]  # (n_e,) rel coeff over E
+                    emb = np.zeros(n_s, dtype=np.int64)
+                    emb[embed_tbl] = a_k
+                    for ch, q in enumerate(qs):
+                        crt = ntt_mod.np_ntt_forward(
+                            np.mod(emb, q).astype(np.uint32)[None], s_plans[ch]
+                        )[0]
+                        prod = zq.np_mul_mod(crt, ys_crt[k_rel][ch], q)
+                        tgt[ch] = (
+                            (tgt[ch].astype(np.int64) + prod) % q
+                        ).astype(np.uint32)
+                targets.append(tgt)
+        else:
+            r_gps = r_ctx.general_plans()
+            s_gps = s_ctx.general_plans()
+            s_crt = _s_crt_np(r_ctx, s_ints)  # (nrns, n_r)
+            mono = np.zeros((d, n_r), dtype=np.uint32)
+            mono[np.arange(d), np.asarray(pos)] = 1
+            targets_arr = np.zeros((d, nrns, n_s), dtype=np.uint32)
+            for ch, q in enumerate(qs):
+                bc = gen.np_crt(r_gps[ch], mono)  # (d, n_r) CRT of b_i
+                prod_crt = (
+                    bc.astype(np.int64) * s_crt[ch][None].astype(np.int64)
+                ) % q
+                prods = gen.np_crt(
+                    r_gps[ch], prod_crt.astype(np.uint32), inverse=True
+                )  # (d, n_r) POW coefficients of b_i * s_R mod q
+                a = prods[:, coeff_tbl]  # (d, d_rel, n_e)
+                emb = np.zeros((d, d, n_s), dtype=np.uint32)
+                emb[..., embed_tbl] = a
+                crt_s = gen.np_crt(
+                    s_gps[ch], emb.reshape(d * d, n_s)
+                ).reshape(d, d, n_s)
+                ys_ch = np.stack([ys_crt[k][ch] for k in range(d)])  # (d, n_s)
+                term = (
+                    crt_s.astype(np.int64) * ys_ch[None].astype(np.int64)
+                ) % q  # per-term mod: the d-term sum stays far below 2^63
+                targets_arr[:, ch, :] = (term.sum(axis=1) % q).astype(
+                    np.uint32
+                )
+            targets = list(targets_arr)
 
         params_s = type(self.params)(
             m=s_ctx.m, p=self.params.p, qs=qs, var=self.params.var

@@ -470,6 +470,75 @@ def test_batched_noise_long_chain(rng):
         np.testing.assert_allclose(bits[b], want, rtol=2e-5, atol=2e-5)
 
 
+def test_batched_mod_switch_standalone(rng):
+    """build_mod_switch (the rescale factored out of build_step —
+    VERDICT r3 #4) == she.mod_switch component-wise, LSD and MSD, with
+    the mod_switch_f bookkeeping."""
+    import jax.numpy as jnp
+
+    sk = she.gen_sk(PARAMS, jax.random.PRNGKey(180))
+    bb = BatchedBGV(PARAMS)
+    B = 3
+    params2 = she.SHEParams(m=M, p=PARAMS.p, qs=QS[:-1], var=PARAMS.var)
+    bb2 = BatchedBGV(params2)
+    for encoding, mk in (("lsd", she.encrypt), ("msd", she.encrypt_msd)):
+        cts = [mk(sk, she.pt_random(PARAMS, rng),
+                  jax.random.PRNGKey(181 + b)) for b in range(B)]
+        c0, c1 = bb.pack(cts)
+        e0, e1 = bb.build_mod_switch(encoding=encoding)(c0, c1)
+        for b in range(B):
+            ref = she.mod_switch(cts[b])
+            if encoding == "lsd":
+                assert bb.mod_switch_f(cts[b].f) == ref.f
+            else:
+                assert ref.f == cts[b].f
+            for got, comp in ((e0, 0), (e1, 1)):
+                np.testing.assert_array_equal(
+                    np.asarray(got)[..., b],
+                    np.asarray(ref.cs[comp].to_crt().data),
+                )
+        # and the switched batch still decrypts on device
+        sk2 = she.SK(params2, sk.s_ints, sk.var)
+        f2 = bb.mod_switch_f(1) if encoding == "lsd" else 1
+        dec2 = bb2.build_decrypt(sk2, f=f2, encoding=encoding)
+        got = np.asarray(dec2(e0, e1))
+        for b in range(B):
+            np.testing.assert_array_equal(
+                got[:, b], she.decrypt(sk2, she.mod_switch(cts[b]))
+            )
+
+
+def test_batched_key_switch_linear(rng):
+    """build_key_switch_linear (re-encryption at batch scale — VERDICT
+    r3 #4) == she.key_switch_linear component-wise, LSD and MSD, with
+    both object-path and device-generated hints."""
+    sk = she.gen_sk(PARAMS, jax.random.PRNGKey(185))
+    sk_new = she.gen_sk(PARAMS, jax.random.PRNGKey(186))
+    bb = BatchedBGV(PARAMS)
+    B = 3
+    for encoding, mk, hint in (
+        ("lsd", she.encrypt,
+         she.ks_linear_hint(sk_new, sk, gd.RnsGad(), jax.random.PRNGKey(187))),
+        ("msd", she.encrypt_msd,
+         bb.gen_ks_linear_hint(sk_new, sk, jax.random.PRNGKey(188))),
+    ):
+        cts = [mk(sk, she.pt_random(PARAMS, rng),
+                  jax.random.PRNGKey(190 + b)) for b in range(B)]
+        c0, c1 = bb.pack(cts)
+        e0, e1 = bb.build_key_switch_linear(hint)(c0, c1)
+        outs = bb.unpack((e0, e1), encoding=encoding)
+        for b in range(B):
+            ref = she.key_switch_linear(hint, cts[b])
+            for comp in range(2):
+                np.testing.assert_array_equal(
+                    np.asarray(outs[b].cs[comp].data),
+                    np.asarray(ref.cs[comp].to_crt().data),
+                )
+            np.testing.assert_array_equal(
+                she.decrypt(sk_new, outs[b]), she.decrypt(sk, cts[b])
+            )
+
+
 def test_noise_bits_builds_for_very_long_chain():
     """Regression (ADVICE r3): the group-weight computation once called
     float(W) on the running chain product, overflowing for W > ~2^1024
@@ -543,7 +612,10 @@ def test_batched_general_m_pipeline(rng):
     d = R.n // E.n
     ys = [Cyc.from_ints(S, rng.integers(-2, 3, S.n)) for _ in range(d)]
     fmap = lin.linear_pow(E, R, S, ys)
-    th = she.tunnel_hint(fmap, sk_s, sk2, gd.RnsGad(), jax.random.PRNGKey(6))
+    # DEVICE-generated hints at composite m (VERDICT r3 #1): the same
+    # hint set drives both the fused and the object tunnel below, so the
+    # bit-exact comparison also certifies the general-m keygen path
+    th = bb2.gen_tunnel_hint(fmap, sk_s, sk2, jax.random.PRNGKey(6))
     t0, t1 = bb2.build_tunnel(th)(e0, e1)
     bb_s = bb2.target_pipeline(th)
     outs_t = bb_s.unpack((t0, t1), f=f2)
