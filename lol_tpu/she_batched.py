@@ -49,6 +49,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from . import numtheory as nt
 from . import she, zq
 from .gadget import RnsGad
+from .ring import ring_context
 from .ops import general as gen
 from .ops.pallas import ntt_kernel as pk
 
@@ -616,7 +617,8 @@ class BatchedBGV:
         return fc * fd * nt.modinv(self.qs[-1] % p, p) % p
 
     # --- the exact BGV rescale (modSwitch primitive) ------------------------
-    def _rescale_crt(self, encoding: str = "lsd", mesh=None):
+    def _rescale_crt(self, encoding: str = "lsd", mesh=None, qs=None,
+                     ctx=None):
         """One-component exact BGV drop-last rescale computed IN the CRT
         domain: only the dropped channel is inverse-transformed; the
         correction polynomial delta (p * centered [c p^-1]_{ql} for
@@ -629,8 +631,12 @@ class BatchedBGV:
         prologue — the tunnel's +33% trick — measured ~3% SLOWER
         here: delta is a single cheap fused XLA pass, and the
         prologue variant of the cross kernel costs more than the
-        pass it saves.  Kept explicit.)"""
-        qs = self.qs
+        pass it saves.  Kept explicit.)
+
+        qs/ctx: rescale over a DIFFERENT chain than the pipeline's
+        (build_step_ext's special-prime drops run over the shrinking
+        extended chains); default is the pipeline chain."""
+        qs = self.qs if qs is None else qs
         nrns = len(qs)
         p = self.params.p
         msd = _check_encoding(encoding) == "msd"
@@ -646,7 +652,7 @@ class BatchedBGV:
             )
 
         def rescale(comp):
-            last_c = self._crt_one(comp[-1], nrns - 1, inverse=True)
+            last_c = self._crt_one(comp[-1], nrns - 1, inverse=True, ctx=ctx)
             if msd:
                 v = last_c
             else:
@@ -667,7 +673,7 @@ class BatchedBGV:
                     vi, jnp.uint32(p % qi),
                     jnp.uint32(zq.shoup(p % qi, qi)), qi,
                 )
-                nd = self._crt_one(delta, i)
+                nd = self._crt_one(delta, i, ctx=ctx)
                 d = zq.sub_mod(comp[i], nd, qi)
                 chans.append(zq.mul_mod_shoup(
                     d, jnp.uint32(inv), jnp.uint32(zq.shoup(inv, qi)), qi,
@@ -801,6 +807,92 @@ class BatchedBGV:
                 e0 = _addmod_ch(qs, e0, _mulmod_sh_ch(qs, di, h0[i], h0s[i]))
                 e1 = _addmod_ch(qs, e1, _mulmod_sh_ch(qs, di, h1[i], h1s[i]))
             return rescale_crt(e0), rescale_crt(e1)
+
+        return step
+
+    # --- the fused step with extended-modulus (hybrid) key switching --------
+    def build_step_ext(self, hint: she.KSHintExt, encoding: str = "lsd"):
+        """jit-compiled (c0,c1,d0,d1) -> (e0,e1) over the dropped-prime
+        chain: ct_mul + keySwitchQuadCircExt + modSwitch — the hybrid
+        variant of build_step (VERDICT r3 #3; SURVEY §3.6 "hints over an
+        extended modulus q''").
+
+        The e2 digits (base-chain RNS gadget, re-expansion fused into
+        each forward transform) inner-product with hints over Q*P; the
+        special primes are then dropped by repeated exact rescales (the
+        p-corrected form in BOTH encodings, mirroring she._ks_inner_ext
+        — the hint term is a p-multiple-plus-message either way), the
+        accumulators rejoin c0*d0 / cross terms over Q, and the standard
+        encoding-aware rescale drops q_last.  Bit-exact vs
+        she.mod_switch(she.key_switch_quad_circ_ext(hint,
+        she.ct_mul(a, b))).  KS noise is divided by P ~ prod(special_qs)
+        relative to build_step (demonstrated by the build_noise_bits
+        comparison in tests).  Scale bookkeeping: step_f (unchanged vs
+        the base step — the P-drop re-enters the s^2 term exactly)."""
+        if not isinstance(hint.spec, RnsGad):
+            raise ValueError("batched pipeline uses the RNS gadget")
+        qs = self.qs
+        nrns = len(qs)
+        p = self.params.p
+        msd = _check_encoding(encoding) == "msd"
+        p_consts = [(p % q, zq.shoup(p % q, q)) for q in qs]
+        ctx_ext = hint.ctx_ext
+        ext_qs = ctx_ext.basis.qs
+        nrns_ext = len(ext_qs)
+        if ext_qs[:nrns] != qs or nrns + hint.n_special != nrns_ext:
+            raise ValueError(
+                "build_step_ext: hint's extended chain does not extend "
+                f"the pipeline chain (ext={ext_qs}, base={qs})"
+            )
+        h0, h0s = _hint_const_sh(hint.h0, ext_qs)
+        h1, h1s = _hint_const_sh(hint.h1, ext_qs)
+        # P-drop rescales over the shrinking extended chains
+        drops = [
+            self._rescale_crt(
+                encoding="lsd",
+                qs=ext_qs[: nrns + k],
+                ctx=ring_context(self.params.m, ext_qs[: nrns + k]),
+            )
+            for k in range(hint.n_special, 0, -1)
+        ]
+        final = self._rescale_crt(encoding=encoding)
+
+        @jax.jit
+        def step(c0, c1, d0, d1):
+            if msd:  # toLSD the second operand (as in build_step)
+                d0, d1 = (
+                    jnp.stack([
+                        zq.mul_mod_shoup(
+                            x[i], jnp.uint32(pc), jnp.uint32(sh), q
+                        )
+                        for i, (q, (pc, sh)) in enumerate(zip(qs, p_consts))
+                    ])
+                    for x in (d0, d1)
+                )
+            e0 = _mulmod_ch(qs, c0, d0)
+            e1 = _addmod_ch(qs, _mulmod_ch(qs, c0, d1), _mulmod_ch(qs, c1, d0))
+            e2 = _mulmod_ch(qs, c1, d1)
+            e2c = self._ntt(e2, inverse=True)
+            acc0 = acc1 = None
+            for i in range(nrns):
+                # digit i over ALL extended channels; base channel i is
+                # the free diagonal (e2[i] itself)
+                di = jnp.stack([
+                    e2[i] if ch == i
+                    else self._crt_one(
+                        e2c[i], ch, ctx=ctx_ext, pre_digit_q=qs[i]
+                    )
+                    for ch in range(nrns_ext)
+                ])
+                t0 = _mulmod_sh_ch(ext_qs, di, h0[i], h0s[i])
+                t1 = _mulmod_sh_ch(ext_qs, di, h1[i], h1s[i])
+                acc0 = t0 if acc0 is None else _addmod_ch(ext_qs, acc0, t0)
+                acc1 = t1 if acc1 is None else _addmod_ch(ext_qs, acc1, t1)
+            for drop in drops:
+                acc0, acc1 = drop(acc0), drop(acc1)
+            e0 = _addmod_ch(qs, e0, acc0)
+            e1 = _addmod_ch(qs, e1, acc1)
+            return final(e0), final(e1)
 
         return step
 
@@ -980,6 +1072,48 @@ class BatchedBGV:
         )
         return _mk_ks_hint(self.params, self.ctx, h0[0], h1[0])
 
+    def gen_ks_quad_hint_ext(self, sk: she.SK, special_qs: tuple[int, ...],
+                             key) -> she.KSHintExt:
+        """Device-generated extended-modulus relinearization hint
+        (she.ks_quad_circ_hint_ext): gadget encryptions of P * s^2 over
+        the chain Q*P (P = prod special_qs), with the BASE chain's RNS
+        gadget — the digit inner product then runs over Q*P and the
+        P-drop divides the keyswitch noise by P (SURVEY §3.6, the
+        reference's q'' construction; VERDICT r3 #3).
+
+        Exactness note: P*t mod Q*P is determined by t mod Q alone
+        (P*t = 0 mod every special prime), so the targets need only
+        s^2's residues over the extended chain — no integer lift."""
+        self._check_sk(sk, "gen_ks_quad_hint_ext")
+        from . import gadget as gd_mod
+
+        ext_qs = self.qs + tuple(special_qs)
+        ctx_ext = ring_context(self.params.m, ext_qs)
+        P = 1
+        for qq in special_qs:
+            P *= qq
+        s_crt_ext = _s_crt_np(ctx_ext, sk.s_ints)  # (nrns_ext, n)
+        s2 = np.stack([
+            zq.np_mul_mod(s_crt_ext[i], s_crt_ext[i], q)
+            for i, q in enumerate(ext_qs)
+        ])
+        base_g = gd_mod.gadget_ints(RnsGad(), self.ctx.basis)
+        params_ext = type(self.params)(
+            m=self.params.m, p=self.params.p, qs=ext_qs, var=self.params.var
+        )
+        h0, h1 = _gen_gadget_hints(
+            params_ext, ctx_ext, sk.s_ints, s2[None], key,
+            gadget_ints=tuple(P * int(g) for g in base_g),
+        )
+        from .cyc import Cyc, Rep
+
+        ell = len(base_g)
+        return she.KSHintExt(
+            self.params, ctx_ext, len(special_qs), RnsGad(),
+            tuple(Cyc(ctx_ext, Rep.CRT, h0[0][j]) for j in range(ell)),
+            tuple(Cyc(ctx_ext, Rep.CRT, h1[0][j]) for j in range(ell)),
+        )
+
     def gen_tunnel_hint(self, lin, sk_s: she.SK, sk_r: she.SK,
                         key) -> she.TunnelHint:
         """Device-generated ring-tunneling hint set (she.tunnel_hint).
@@ -1140,7 +1274,8 @@ def _mk_ks_hint(params, ctx, h0: np.ndarray, h1: np.ndarray) -> she.KSHint:
     )
 
 
-def _gen_gadget_hints(params, ctx, s_ints, targets: np.ndarray, key):
+def _gen_gadget_hints(params, ctx, s_ints, targets: np.ndarray, key,
+                      gadget_ints=None):
     """All RNS-gadget hints for a batch of targets in ONE jitted call.
 
     targets: (T, nrns, n) u32, CRT domain.  For target t, digit j:
@@ -1148,22 +1283,32 @@ def _gen_gadget_hints(params, ctx, s_ints, targets: np.ndarray, key):
     with e fresh rounded gaussians (var) and a fresh uniforms, all in the
     CRT domain over ctx.  Returns two (T, ell, nrns, n) numpy arrays.
 
+    gadget_ints: override the gadget values (python ints, reduced per
+    channel here) — the extended-modulus hints encode P*g_j of the BASE
+    chain's gadget over the Q*P ctx (ell = len(gadget_ints) digits);
+    default is ctx's own RNS gadget (ell = nrns).
+
     The e-NTTs ride the XLA staged path at a tiny padded batch — no
     extra Mosaic kernel variants are compiled for keygen."""
     from .ops import ntt as ntt_mod
 
     qs = ctx.basis.qs
     nrns = len(qs)
-    ell = nrns
     n = ctx.n
     T = targets.shape[0]
-    L = T * ell
     p = params.p
     var = params.var
     pow2 = ctx.fm.is_pow2()
     plans = ctx.ntt_plans() if pow2 else None
     gplans = None if pow2 else ctx.general_plans()
-    g_rns = gd_gadget_rns(ctx.basis)  # (ell, nrns)
+    if gadget_ints is None:
+        g_rns = gd_gadget_rns(ctx.basis)  # (ell, nrns)
+    else:
+        g_rns = np.array(
+            [[int(g) % q for q in qs] for g in gadget_ints], dtype=np.int64
+        ).astype(np.uint32)
+    ell = g_rns.shape[0]
+    L = T * ell
     cols = np.arange(L)
     jcol = cols % ell
     tcol = cols // ell

@@ -470,6 +470,69 @@ def test_batched_noise_long_chain(rng):
         np.testing.assert_allclose(bits[b], want, rtol=2e-5, atol=2e-5)
 
 
+def test_batched_step_ext_matches_object_path(rng):
+    """Extended-modulus (hybrid) KS at batch scale (VERDICT r3 #3):
+    build_step_ext == she.ct_mul + key_switch_quad_circ_ext +
+    mod_switch component-wise, LSD (object-path hint) and MSD
+    (device-generated hint); and the P-division of the KS noise is
+    visible at batch scale — the ext step's build_noise_bits is
+    strictly below the base-gadget step's on identical inputs."""
+    all5 = tuple(nt.ntt_primes(M, 30, 5))
+    assert all5[:3] == QS
+    special = all5[3:]
+    key = jax.random.PRNGKey(210)
+    ks, kh, khe, kb, *kes = jax.random.split(key, 4 + 8)
+    sk = she.gen_sk(PARAMS, ks)
+    bb = BatchedBGV(PARAMS)
+    hint_obj = she.ks_quad_circ_hint_ext(sk, gd.RnsGad(), kh, special)
+    hint_dev = bb.gen_ks_quad_hint_ext(sk, special, khe)
+    B = 2
+    params2 = she.SHEParams(m=M, p=PARAMS.p, qs=QS[:-1], var=PARAMS.var)
+    bb2 = BatchedBGV(params2)
+    sk2 = she.SK(params2, sk.s_ints, sk.var)
+    lsd_io = None
+    for encoding, mk, hint in (("lsd", she.encrypt, hint_obj),
+                               ("msd", she.encrypt_msd, hint_dev)):
+        cts_a, cts_b, msgs = [], [], []
+        for b in range(B):
+            m1, m2 = she.pt_random(PARAMS, rng), she.pt_random(PARAMS, rng)
+            cts_a.append(mk(sk, m1, kes[2 * b]))
+            cts_b.append(mk(sk, m2, kes[2 * b + 1]))
+            msgs.append((m1, m2))
+        c0, c1 = bb.pack(cts_a)
+        d0, d1 = bb.pack(cts_b)
+        e0, e1 = bb.build_step_ext(hint, encoding=encoding)(c0, c1, d0, d1)
+        f2 = bb.step_f(1, 1, encoding=encoding)
+        outs = bb2.unpack((e0, e1), f=f2, encoding=encoding)
+        for b in range(B):
+            ref = she.mod_switch(
+                she.key_switch_quad_circ_ext(hint, she.ct_mul(cts_a[b],
+                                                              cts_b[b]))
+            )
+            assert outs[b].f == ref.f and outs[b].encoding == ref.encoding
+            for k in range(2):
+                np.testing.assert_array_equal(
+                    np.asarray(outs[b].cs[k].data),
+                    np.asarray(ref.cs[k].to_crt().data),
+                )
+            m1, m2 = msgs[b]
+            np.testing.assert_array_equal(
+                she.decrypt(sk2, outs[b]), she.pt_mul(PARAMS, m1, m2)
+            )
+        if encoding == "lsd":
+            lsd_io = (c0, c1, d0, d1, e0, e1)
+    # noise: base-gadget step vs ext step on the same LSD inputs
+    c0, c1, d0, d1, x0, x1 = lsd_io
+    hint_base = she.ks_quad_circ_hint(sk, gd.RnsGad(), kb)
+    b0, b1 = bb.build_step(hint_base)(c0, c1, d0, d1)
+    bits = bb2.build_noise_bits(sk2)
+    bits_base = np.asarray(bits(b0, b1))
+    bits_ext = np.asarray(bits(x0, x1))
+    assert float(bits_ext.mean()) < float(bits_base.mean()), (
+        f"ext KS should be quieter: ext={bits_ext}, base={bits_base}"
+    )
+
+
 def test_batched_mod_switch_standalone(rng):
     """build_mod_switch (the rescale factored out of build_step —
     VERDICT r3 #4) == she.mod_switch component-wise, LSD and MSD, with
