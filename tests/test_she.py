@@ -345,6 +345,37 @@ def test_pt_round_all_values(p):
         assert got[0] == want and not got[1:].any(), (p, v, got[:3], want)
 
 
+@pytest.mark.parametrize("p", [9, 27])
+def test_pt_round_ternary_all_values(p):
+    """pt_round for p = 3^k (VERDICT r3 #9): decrypts to
+    round_nearest(v / 3^{k-1}) mod 3 for every v in Z_{3^k} — balanced-
+    ternary (Teichmueller) digit stripping via homomorphic cubings;
+    ties are impossible, no pre-add."""
+    k = {9: 2, 27: 3}[p]
+    nprimes = she.pt_round_mults(p) + 2
+    qs = tuple(nt.ntt_primes(32, 30, nprimes))
+    params = she.SHEParams(m=16, p=p, qs=qs, var=2.0)
+    sk = she.gen_sk(params, jax.random.PRNGKey(60))
+    rh = she.pt_round_hints(sk, gd.RnsGad(), jax.random.PRNGKey(61))
+    n = params.ctx.n
+    for v in range(p):
+        m = np.zeros(n, dtype=np.int64)
+        m[0] = v
+        ct = she.encrypt(sk, m, jax.random.fold_in(jax.random.PRNGKey(62), v))
+        out = she.pt_round(ct, rh)
+        assert out.params.p == 3
+        got = she.decrypt(sk, out)
+        want = ((2 * v + 3 ** (k - 1)) // (2 * 3 ** (k - 1))) % 3
+        assert got[0] == want and not got[1:].any(), (p, v, got[:3], want)
+
+
+def test_pt_round_rejects_unsupported_base():
+    with pytest.raises(ValueError, match="2\\^k or 3\\^k"):
+        she.pt_round_mults(10)
+    with pytest.raises(ValueError, match="2\\^k or 3\\^k"):
+        she.pt_round_mults(25)
+
+
 def test_pt_round_hints_need_enough_primes():
     qs = tuple(nt.ntt_primes(32, 30, 2))
     params = she.SHEParams(m=16, p=8, qs=qs, var=2.0)
