@@ -54,10 +54,10 @@ def _lane_rep(v: np.ndarray, lanes: int) -> np.ndarray:
     return np.broadcast_to(v[:, None], (v.shape[0], lanes)).copy()
 
 
-def _split(n: int) -> tuple[int, int, int]:
+def _split(n: int, window: int = WINDOW) -> tuple[int, int, int]:
     """-> (k, S, tS): k = log2 n; S cross-block stages; tS block rows."""
     k = n.bit_length() - 1
-    tS = min(n, WINDOW)
+    tS = min(n, window)
     S = k - (tS.bit_length() - 1)
     return k, S, tS
 
@@ -356,18 +356,20 @@ def _kernel_block(x_ref, w_ref, wsh_ref, o_ref, *, q, tS, inverse, n_inv,
 @lru_cache(maxsize=512)
 def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
            rlog: int = 1, lazy: bool = True, pre_q: int | None = None,
-           full_tables: bool = False):
+           full_tables: bool = False, window: int = WINDOW):
     """Jitted (n, B) -> (n, B) column-major negacyclic NTT.
 
     pre_q: fuse the RNS-gadget digit re-expansion from modulus pre_q
     into the first forward kernel (see _redigit).
     full_tables: ship lanes-wide twiddle operands (the pre-tile-widening
-    behavior) — kept as a measurement knob for A/B'ing table traffic."""
+    behavior) — kept as a measurement knob for A/B'ing table traffic.
+    window: override the block-rows bound tS (measurement knob for the
+    small-batch split sweep; default WINDOW = 512)."""
     n, q = plan.n, plan.q
-    k, S, tS = _split(n)
+    k, S, tS = _split(n, window)
     nblk = n // tS
     P = 1 << S
-    G = max(1, WINDOW // P)
+    G = max(1, window // P)
     # twiddle tables ship at one native tile — or narrower, matching the
     # data, when the caller runs a sub-tile lane count (ADVICE r2)
     W = lanes if full_tables else min(TILE, lanes)
@@ -390,7 +392,7 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
     # jit trace (she_batched's fused step).
     wA_np = np.ascontiguousarray(src[:P])
     wAs_np = np.ascontiguousarray(src_sh[:P])
-    TB = _block_twiddles(plan, inverse)
+    TB = _block_twiddles(plan, inverse, S, tS)
     TBs_np = np.array(
         [[zq.shoup(int(w), q) for w in row] for row in TB], dtype=np.uint32
     )
@@ -485,7 +487,7 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
 def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
            interpret: bool = False, radix: int | None = None,
            lazy: bool = True, pre_digit_q: int | None = None,
-           full_tables: bool = False):
+           full_tables: bool = False, window: int = WINDOW):
     """Negacyclic NTT over axis 0 of a column-major (n, B) u32 array.
 
     B must be a multiple of `lanes`.  Defaults tuned on v5e at n=4096,
@@ -513,7 +515,8 @@ def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
     if pre_digit_q is not None and inverse:
         raise ValueError("ntt_cm: pre_digit_q is a forward-only prologue")
     return _build(plan, inverse, lanes, interpret, rlog, lazy,
-                  pre_q=pre_digit_q, full_tables=full_tables)(x)
+                  pre_q=pre_digit_q, full_tables=full_tables,
+                  window=window)(x)
 
 
 def ntt_batched(x, plan: NTTPlan, inverse: bool = False, interpret: bool = False):

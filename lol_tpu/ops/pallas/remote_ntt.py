@@ -109,45 +109,85 @@ def _all_to_all(v, D: int, axis: str, interpret: bool, site: str):
 
 
 def _fused_a2a_phaseB_kernel(x_ref, tab_ref, tabs_ref, o_ref, land_ref,
-                             vbuf, obuf, send_sems, recv_sems, local_sems,
-                             slab_sems, io_sems, *, D: int, C: int, NF: int,
-                             W: int, q: int, tS: int, axis: str):
-    """a2a #2 fused with the phase-B butterfly network, overlapped
-    (VERDICT r2 #10): ALL chunk transfers for ALL batch slabs are issued
-    up front — each (C, W) chunk of batch-slab t lands in its own slot
-    of the HBM landing zone (no buffer reuse, so no ack protocol) — and
-    the size-tS network runs slab-by-slab as soon as slab t's D chunks
-    have arrived, while later slabs' DMAs are still in flight.  Expected
-    hiding: all a2a traffic except the first slab's overlaps butterfly
-    compute (or all compute except the last slab's overlaps traffic,
-    whichever side is shorter).
+                             vbuf, obuf, ack_src, ack_dst, send_sems,
+                             recv_sems, local_sems, slab_sem, io_sem,
+                             ack_send_sems, ack_recv_sems, *, D: int, C: int,
+                             NF: int, W: int, q: int, tS: int, axis: str,
+                             kslot: int):
+    """a2a #2 fused with the phase-B butterfly network, overlapped, with
+    a CAPPED landing zone (VERDICT r2 #10 + r3 #10; ADVICE r3): the
+    landing zone holds `kslot` batch slabs (slab t lands in slot
+    t % kslot), and slots are recycled through a reverse-ack protocol —
+    after consuming slab t, a device sends a tiny uniform ack-a2a round
+    for that slot, and no device issues slab t+kslot's chunk DMAs until
+    the acks for the slot's previous tenancy have arrived from every
+    peer.  Outstanding DMA depth is therefore <= kslot*D data copies
+    (+ D-1 in-flight acks) and landing memory kslot*(D, C, W) — both
+    independent of the batch F.  (The unrolled program still grows as
+    O(NF*D) instructions; at the benched shapes NF <= 8, D <= 8.)
+    Expected hiding is unchanged: while slab t computes, slabs
+    t+1..t+kslot-1 are in flight.
 
     x_ref:   (D, C, F) my phase-A output, chunk r addressed to peer r
-    land:    (D, C, F) landing zone (extra output, ANY/HBM)
+    land:    (D, C, kslot*W) landing zone (extra output, ANY/HBM)
     o_ref:   (tS, F) phase-B result (row r = e*C + c of block d)
     vbuf:    (D, C, W) VMEM compute buffer for one slab
     obuf:    (tS, W) VMEM result staging
+    ack_src/ack_dst: dummy VMEM tiles whose transfer IS the ack signal
     """
     d = jax.lax.axis_index(axis)
-    # issue everything up front: own chunks + one remote DMA per (slab, peer)
-    for t in range(NF):
-        sl = pl.ds(t * W, W)
+
+    def data_descs(t):
+        """The slab-t chunk copies (own + D-1 remote), slot-indexed sems.
+        Uniform schedule: .wait() on a descriptor waits my send AND the
+        mirrored peer's arrival."""
+        slot = t % kslot
+        src_sl = pl.ds(t * W, W)
+        dst_sl = pl.ds(slot * W, W)
         own = pltpu.make_async_copy(
-            x_ref.at[pl.ds(d, 1), :, sl], land_ref.at[pl.ds(d, 1), :, sl],
-            local_sems.at[t],
+            x_ref.at[pl.ds(d, 1), :, src_sl],
+            land_ref.at[pl.ds(d, 1), :, dst_sl],
+            local_sems.at[slot],
         )
-        own.start()
+        remotes = []
         for k in range(1, D):
             r = jax.lax.rem(d + k, D)
-            rdma = pltpu.make_async_remote_copy(
-                src_ref=x_ref.at[pl.ds(r, 1), :, sl],
-                dst_ref=land_ref.at[pl.ds(d, 1), :, sl],
-                send_sem=send_sems.at[t, k - 1],
-                recv_sem=recv_sems.at[t, k - 1],
+            remotes.append(pltpu.make_async_remote_copy(
+                src_ref=x_ref.at[pl.ds(r, 1), :, src_sl],
+                dst_ref=land_ref.at[pl.ds(d, 1), :, dst_sl],
+                send_sem=send_sems.at[slot, k - 1],
+                recv_sem=recv_sems.at[slot, k - 1],
                 device_id=r,
                 device_id_type=pltpu.DeviceIdType.LOGICAL,
-            )
+            ))
+        return own, remotes
+
+    def ack_descs(slot):
+        """The slot's ack round: a tiny copy to every peer; arrival of
+        the mirrored incoming ack == that peer consumed its slab."""
+        descs = []
+        for k in range(1, D):
+            r = jax.lax.rem(d + k, D)
+            descs.append(pltpu.make_async_remote_copy(
+                src_ref=ack_src,
+                dst_ref=ack_dst,
+                send_sem=ack_send_sems.at[slot, k - 1],
+                recv_sem=ack_recv_sems.at[slot, k - 1],
+                device_id=r,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            ))
+        return descs
+
+    def issue(t):
+        own, remotes = data_descs(t)
+        own.start()
+        for rdma in remotes:
             rdma.start()
+
+    # prologue: fill the kslot-deep pipeline
+    for t in range(min(kslot, NF)):
+        issue(t)
+
     # widen the (tS, 128) twiddle tile to the slab width (see ntt_kernel)
     lanes = W
     tab, tabs = (
@@ -160,48 +200,55 @@ def _fused_a2a_phaseB_kernel(x_ref, tab_ref, tabs_ref, o_ref, land_ref,
         return tab[lo : lo + m], tabs[lo : lo + m]
 
     for t in range(NF):
-        sl = pl.ds(t * W, W)
-        # wait slab t's arrivals (own + D-1 remote)
-        pltpu.make_async_copy(
-            x_ref.at[pl.ds(d, 1), :, sl], land_ref.at[pl.ds(d, 1), :, sl],
-            local_sems.at[t],
-        ).wait()
-        for k in range(1, D):
-            r = jax.lax.rem(d + k, D)
-            pltpu.make_async_remote_copy(
-                src_ref=x_ref.at[pl.ds(r, 1), :, sl],
-                dst_ref=land_ref.at[pl.ds(d, 1), :, sl],
-                send_sem=send_sems.at[t, k - 1],
-                recv_sem=recv_sems.at[t, k - 1],
-                device_id=r,
-                device_id_type=pltpu.DeviceIdType.LOGICAL,
-            ).wait()
+        slot = t % kslot
+        own, remotes = data_descs(t)
+        own.wait()
+        for rdma in remotes:
+            rdma.wait()
         # HBM -> VMEM, compute, VMEM -> HBM
+        dst_sl = pl.ds(slot * W, W)
         cp_in = pltpu.make_async_copy(
-            land_ref.at[:, :, sl], vbuf, slab_sems.at[t]
+            land_ref.at[:, :, dst_sl], vbuf, slab_sem
         )
         cp_in.start()
         cp_in.wait()
         y = _ntt_net_fwd(vbuf[...].reshape(tS, W), q, tS, read_wb)
         obuf[...] = y
-        cp_out = pltpu.make_async_copy(obuf, o_ref.at[:, sl], io_sems.at[t])
+        cp_out = pltpu.make_async_copy(
+            obuf, o_ref.at[:, pl.ds(t * W, W)], io_sem
+        )
         cp_out.start()
         cp_out.wait()
+        # slot is free on this device: tell every peer
+        for ack in ack_descs(slot):
+            ack.start()
+        nxt = t + kslot
+        if nxt < NF:
+            # recycle the slot only after every peer's ack arrived
+            for ack in ack_descs(slot):
+                ack.wait()
+            issue(nxt)
+    # drain the final rounds' acks (started but never waited above)
+    for t in range(max(NF - kslot, 0), NF):
+        for ack in ack_descs(t % kslot):
+            ack.wait()
 
 
 def _fused_a2a_phaseB(v, tab, tabs, D: int, C: int, W: int, q: int,
-                      axis: str, interpret: bool):
+                      axis: str, interpret: bool, kslot: int = 2):
     """(D, C, F) phase-A output -> (tS, F) phase-B result with the
-    overlapped fused kernel.  F must be a multiple of W (>= 128)."""
+    overlapped fused kernel.  F must be a multiple of W (>= 128);
+    kslot = landing-zone depth in slabs (2 = double-buffered)."""
     F = v.shape[-1]
     tS = D * C
     NF = F // W
+    kslot = min(kslot, NF)
     out, _land = pl.pallas_call(
         partial(_fused_a2a_phaseB_kernel, D=D, C=C, NF=NF, W=W, q=q, tS=tS,
-                axis=axis),
+                axis=axis, kslot=kslot),
         out_shape=(
             jax.ShapeDtypeStruct((tS, F), v.dtype),
-            jax.ShapeDtypeStruct((D, C, F), v.dtype),  # landing zone
+            jax.ShapeDtypeStruct((D, C, kslot * W), v.dtype),  # landing zone
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -215,11 +262,15 @@ def _fused_a2a_phaseB(v, tab, tabs, D: int, C: int, W: int, q: int,
         scratch_shapes=[
             pltpu.VMEM((D, C, W), jnp.uint32),
             pltpu.VMEM((tS, W), jnp.uint32),
-            pltpu.SemaphoreType.DMA((NF, max(D - 1, 1))),
-            pltpu.SemaphoreType.DMA((NF, max(D - 1, 1))),
-            pltpu.SemaphoreType.DMA((NF,)),
-            pltpu.SemaphoreType.DMA((NF,)),
-            pltpu.SemaphoreType.DMA((NF,)),
+            pltpu.VMEM((8, 128), jnp.uint32),  # ack payload (dummy)
+            pltpu.VMEM((8, 128), jnp.uint32),  # ack landing (dummy)
+            pltpu.SemaphoreType.DMA((kslot, max(D - 1, 1))),
+            pltpu.SemaphoreType.DMA((kslot, max(D - 1, 1))),
+            pltpu.SemaphoreType.DMA((kslot,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((kslot, max(D - 1, 1))),
+            pltpu.SemaphoreType.DMA((kslot, max(D - 1, 1))),
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, collective_id=_COLLECTIVE_IDS["a2a_fused"]
@@ -240,6 +291,14 @@ def _fused_phaseBinv_a2a_kernel(x_ref, tab_ref, tabs_ref, land_ref, sbuf_ref,
     computed — later slabs' butterflies overlap earlier slabs' ICI
     traffic.  Chunks are staged per-slab in HBM (sbuf, an extra output)
     so no send source is ever reused and no ack protocol is needed.
+
+    Bound note (ADVICE r3): unlike the forward kernel (capped landing
+    zone + reverse acks), this direction's landing zone is the final
+    a2a output — full (D, C, F), not reusable — so outstanding sends
+    grow up to NF*(D-1) by the drain and the unrolled program is
+    O(NF*D) instructions.  Keep NF*D modest (benched shapes: NF <= 8,
+    D <= 8); gating sends on a receiver-side credit would cap the DMA
+    depth here too if larger shapes ever need it.
 
     x_ref:  (tS, F) my local rows (GS/brv order, phase-B' input)
     sbuf:   (D, C, F) per-slab HBM staging of phase-B' output (chunked)
@@ -476,12 +535,15 @@ def ntt_ring_sharded_pallas(mesh, x, plan: NTTPlan, axis: str = "ring",
 
     overlap=True fuses the second all-to-all with the phase-B butterfly
     network (batch flattens to a multiple of 128 and tS = n/D fits the
-    512-row in-kernel window): all chunk DMAs are issued up front into
-    a slab-partitioned landing zone and the size-tS network starts on
-    each batch slab as soon as its D chunks arrive — hiding all
-    exchange traffic but the first slab's behind butterfly compute.
-    Outside those bounds the flag silently falls back to the two-call
-    path.  Bit-exact vs overlap=False (same network, same tables)."""
+    512-row in-kernel window): chunk DMAs stream into a TWO-SLAB
+    landing zone recycled via a reverse-ack protocol (slab t+2's sends
+    are gated on every peer acking slot consumption), and the size-tS
+    network starts on each batch slab as soon as its D chunks arrive —
+    hiding all exchange traffic but the first slab's behind butterfly
+    compute, at <= 2*D outstanding data DMAs and 2-slab landing memory
+    regardless of batch.  Outside those bounds the flag silently falls
+    back to the two-call path.  Bit-exact vs overlap=False (same
+    network, same tables)."""
     return _ring_sharded(mesh, x, plan, axis, interpret, inverse=False,
                          overlap=overlap)
 

@@ -127,6 +127,27 @@ def test_remote_ntt_overlap_matches_unfused(rng):
                                        overlap=True)
     np.testing.assert_array_equal(np.asarray(back), x)
 
+    # 3 slabs > kslot=2: the capped landing zone actually RECYCLES a
+    # slot through the reverse-ack protocol (VERDICT r3 #10) — the
+    # prologue fills both slots, slab 2 reuses slot 0 after the ack
+    # round, and the drain waits the final acks
+    x3 = rng.integers(0, q, (3, 128, N), dtype=np.uint64).astype(np.uint32)
+    xj3 = jax.device_put(
+        jnp.asarray(x3),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, None, "ring")
+        ),
+    )
+    got3 = rn.ntt_ring_sharded_pallas(mesh, xj3, plan, interpret=True,
+                                      overlap=True)
+    np.testing.assert_array_equal(
+        np.asarray(got3),
+        ntt.np_ntt_forward(x3.reshape(-1, N), plan).reshape(x3.shape),
+    )
+    back3 = rn.intt_ring_sharded_pallas(mesh, got3, plan, interpret=True,
+                                        overlap=True)
+    np.testing.assert_array_equal(np.asarray(back3), x3)
+
 
 def test_sharded_bgv_step_32k(rng):
     """Config 5's sharded demo: m=32768 batched step + fused tunnel with
