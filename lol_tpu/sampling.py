@@ -71,6 +71,52 @@ def _dec_mixing_matrix(m: int) -> np.ndarray:
     return out
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _gaussian_dec_fn(m: int, n: int, batch: tuple[int, ...]):
+    """Jitted sampler body for (m, shape): ONE device dispatch per call
+    instead of ~10 eager ops (each a network round trip on a tunneled
+    TPU — gen_sk at m=18432 measured ~11 s eager, ~1 s jitted).
+    Mixing factors stay compact numpy in the closure and convert inside
+    the jitted body (the lru-cache escaped-tracer-safe pattern)."""
+    from .factored import fact as _fact
+    from .ops import general as _gen
+
+    f = _fact(m)
+    pow2 = f.is_pow2()
+    if pow2:
+        factors, shape = None, None
+    else:
+        scale = float(np.sqrt(n))
+        factors = tuple(
+            ((Li * scale if i == 0 else Li).astype(np.float32))
+            for i, Li in enumerate(_gen.dec_mixing_factors(m))
+        )
+        shape = f.phi_shape
+
+    import jax as _jax
+
+    @_jax.jit
+    def run(key, var):
+        g = jax.random.normal(key, (*batch, n), dtype=jnp.float32) * jnp.sqrt(
+            var
+        )
+        if not pow2:
+            lead = g.shape[:-1]
+            gs = g.reshape(*lead, *shape)
+            for i, Lf in enumerate(factors):
+                ax = len(lead) + i
+                gs = jnp.moveaxis(gs, ax, -1)
+                gs = jnp.einsum("ij,...j->...i", jnp.asarray(Lf), gs)
+                gs = jnp.moveaxis(gs, -1, ax)
+            g = gs.reshape(*lead, n)
+        return jnp.round(g).astype(jnp.int32)
+
+    return run
+
+
 def gaussian_dec_ints(ctx: RingContext, key, var: float,
                       batch: tuple[int, ...] = ()) -> jnp.ndarray:
     """Rounded decoding-basis Gaussian as signed int32 coefficients
@@ -82,23 +128,9 @@ def gaussian_dec_ints(ctx: RingContext, key, var: float,
     same normalization via the decoding-basis mixing factors, applied
     per prime-power axis (tensor-factored — VERDICT r3 #2; the dense
     phi x phi matrix is never built)."""
-    from .ops import general as _gen
-
-    g = real_gaussians(key, var, (*batch, ctx.n))
-    if not ctx.fm.is_pow2():
-        factors = _gen.dec_mixing_factors(ctx.m)
-        shape = ctx.fm.phi_shape
-        lead = g.shape[:-1]
-        gs = g.reshape(*lead, *shape)
-        scale = float(np.sqrt(ctx.n))
-        for i, Li in enumerate(factors):
-            Lf = (Li * scale if i == 0 else Li).astype(np.float32)
-            ax = len(lead) + i
-            gs = jnp.moveaxis(gs, ax, -1)
-            gs = jnp.einsum("ij,...j->...i", jnp.asarray(Lf), gs)
-            gs = jnp.moveaxis(gs, -1, ax)
-        g = gs.reshape(*lead, ctx.n)
-    return jnp.round(g).astype(jnp.int32)
+    return _gaussian_dec_fn(ctx.m, ctx.n, tuple(batch))(
+        key, jnp.float32(var)
+    )
 
 
 def _ints_to_rns(ctx: RingContext, x: jnp.ndarray) -> jnp.ndarray:

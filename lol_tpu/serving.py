@@ -1,0 +1,132 @@
+"""Serving-scale orchestration: homomorphic rounding and HomomPRF over
+ciphertext BATCHES.
+
+The object-level pipelines (`she.pt_round`, `prf.homom_prf`) manipulate
+one ciphertext at a time with host round trips; this module assembles
+the SAME op sequences from `she_batched.BatchedBGV`'s fused builders, so
+entire batches ride each device execution:
+
+  - `batched_pt_round`: the homomorphic plaintext rounding chain
+    (Z_{2^k} -> Z_2 LSB stripping / Z_{3^k} -> Z_3 balanced-ternary
+    stripping — she.pt_round's exact schedule) with every multiply a
+    fused build_step, every chain alignment a build_mod_switch, the
+    subtraction a build_add, and the exact divide a build_div_d.
+  - `batched_homom_prf_component`: the reference HomomPRF call stack
+    (SURVEY §3.6: mulPublic -> tunnel chain -> PTRound) at batch scale:
+    build_mul_public -> build_tunnel per tower hop -> batched_pt_round.
+
+Every constituent builder is individually bit-exact vs its `she` op, and
+the schedules mirror she.pt_round / prf.homom_prf_component statement
+for statement, so end-to-end outputs are bit-exact vs the object path
+column by column (asserted in tests/test_serving.py).  LSD encoding
+(the object rounding chain's convention).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import she
+from .cyc import Rep
+from .she_batched import BatchedBGV
+
+
+def _mk(bb: BatchedBGV, p_cur: int, L: int) -> BatchedBGV:
+    """The pipeline over chain prefix qs[:L] at plaintext modulus p_cur."""
+    base = bb.params
+    return BatchedBGV(
+        type(base)(m=base.m, p=p_cur, qs=base.qs[:L], var=base.var),
+        use_pallas=bb.use_pallas,
+    )
+
+
+def batched_pt_round(bb: BatchedBGV, rh: she.PTRoundHints, c0, c1,
+                     f: int = 1):
+    """she.pt_round over a batch: (bb, rh, (nrns, n, B) components, f)
+    -> (bb_out, f_out, (c0', c1')) over the post-rounding chain/modulus.
+
+    The schedule is she.pt_round's, statement for statement (hint i is
+    consumed at chain prefix L0 - i, exactly as pt_round_hints lays the
+    hints out); plaintexts must be scalar (constant polynomials), as in
+    the object path."""
+    p = bb.params.p
+    pr, k = she._pt_round_base(p)
+    if k == 1:
+        return bb, f, (c0, c1)
+    it = iter(rh.hints)
+    L = len(bb.params.qs)
+    py, fy, Ly = p, f, L
+    y = (c0, c1)
+    if pr == 2:
+        shift = np.zeros((bb.ctx.n, 1), dtype=np.int32)
+        shift[0, 0] = 1 << (k - 2)
+        y = bb.build_add_public(f=f)(c0, c1, jnp.asarray(shift))
+
+    def align(pair, fcur, Lcur, Ltgt):
+        while Lcur > Ltgt:
+            cur = _mk(bb, py, Lcur)
+            pair = cur.build_mod_switch()(*pair)
+            fcur = cur.mod_switch_f(fcur)
+            Lcur -= 1
+        return pair, fcur
+
+    for j in range(k, 1, -1):
+        if pr == 2:
+            b, fb, Lb = y, fy, Ly
+            for _ in range(she._lsb_squarings(j)):
+                cur = _mk(bb, py, Lb)
+                b = cur.build_step(next(it))(b[0], b[1], b[0], b[1])
+                fb = cur.step_f(fb, fb)
+                Lb -= 1
+        else:
+            t, ft, Lt = y, fy, Ly
+            for _ in range(j - 1):  # t <- t^3 (square, align, times t)
+                cur = _mk(bb, py, Lt)
+                sq = cur.build_step(next(it))(t[0], t[1], t[0], t[1])
+                fsq = cur.step_f(ft, ft)
+                t, ft = align(t, ft, Lt, Lt - 1)
+                Lt -= 1
+                cur = _mk(bb, py, Lt)
+                t = cur.build_step(next(it))(sq[0], sq[1], t[0], t[1])
+                ft = cur.step_f(fsq, ft)
+                Lt -= 1
+            b, fb, Lb = t, ft, Lt
+        y, fy = align(y, fy, Ly, Lb)
+        Ly = Lb
+        cur = _mk(bb, py, Ly)
+        diff = cur.build_add(f_a=fy, f_b=fb, sub=True)(*y, *b)
+        y = cur.build_div_d(pr)(*diff)
+        fy = cur.div_d_f(pr, fy)
+        py //= pr
+    return _mk(bb, py, Ly), fy, y
+
+
+def batched_homom_prf_component(fam, hints, bb: BatchedBGV, c0, c1,
+                                bits, i: int, f: int = 1):
+    """prf.homom_prf_component over a batch of key ciphertexts:
+    component i of s * A_T(x) via build_mul_public, the tunnel-tower
+    walk via build_tunnel per hop, then the TRUE homomorphic rounding
+    (batched_pt_round) when hints.rounds is present — else the
+    plaintext-modulus reinterpretation (she.mod_switch_pt's LSD form:
+    pure p/f bookkeeping).  Returns (bb_out, f_out, (c0', c1'))."""
+    at = fam.a_t(bits)
+    a_pt = np.array(
+        [int(v) % bb.params.p for v in at[i].lift_ints(rep=Rep.DEC)],
+        dtype=np.int32,
+    )
+    c0, c1 = bb.build_mul_public()(c0, c1, jnp.asarray(a_pt[:, None]))
+    cur = bb
+    for th in hints.tunnels:
+        c0, c1 = cur.build_tunnel(th)(c0, c1)
+        cur = cur.target_pipeline(th)
+    if hints.rounds is not None:
+        return batched_pt_round(cur, hints.rounds, c0, c1, f=f)
+    if hints.p_final != cur.params.p:
+        base = cur.params
+        cur = BatchedBGV(
+            type(base)(m=base.m, p=hints.p_final, qs=base.qs, var=base.var),
+            use_pallas=cur.use_pallas,
+        )
+        f = f % hints.p_final
+    return cur, f, (c0, c1)

@@ -595,6 +595,21 @@ class BatchedBGV:
 
         return scale
 
+    def build_div_d(self, d: int):
+        """jit-compiled (c0, c1) -> (c0', c1'): batched she.div_d —
+        exact homomorphic divide-by-d (components scaled by d^{-1} mod
+        Q) for plaintexts guaranteed divisible by d.  The plaintext
+        modulus drops to p/d: subsequent builders come from a
+        BatchedBGV over SHEParams with p//d; track f with div_d_f."""
+        if self.params.p % d:
+            raise ValueError("build_div_d: d must divide the pt modulus")
+        Q = self.ctx.basis.modulus
+        return self._build_scale_components(nt.modinv(d % Q, Q))
+
+    def div_d_f(self, d: int, f: int) -> int:
+        """Scale-factor update matching build_div_d (she.div_d)."""
+        return f % (self.params.p // d)
+
     def to_lsd_f(self, f: int) -> int:
         """Scale-factor update matching build_to_lsd (she.to_lsd)."""
         p = self.params.p
