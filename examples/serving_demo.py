@@ -1,10 +1,12 @@
 """Serving-path demo: the fused batched BGV pipeline end to end.
 
-Covers the round-3 serving surface: batched encrypt -> fused
+Covers the serving surface: batched encrypt -> fused
 mul+keyswitch+rescale -> device decrypt in BOTH encodings (LSD and MSD),
-device-side noise-budget tracking, the batched encoding switches, and
-the general-m (composite cyclotomic) fused pipeline.  Runs on CPU (the
-XLA path is bit-identical to the Pallas TPU path).
+device-side noise-budget tracking, the batched encoding switches, the
+general-m (composite cyclotomic) fused pipeline, and the round-4 ops:
+extended-modulus (hybrid) relinearization, standalone modulus switch +
+linear re-encryption, and the batched homomorphic rounding chain.  Runs
+on CPU (the XLA path is bit-identical to the Pallas TPU path).
 """
 
 import sys
@@ -74,6 +76,70 @@ def main():
     dec = bbm.build_decrypt(skm, f=f, encoding="msd")
     print("to_lsd -> to_msd round-trip decrypts:",
           np.array_equal(np.asarray(dec(r0, r1)), m1))
+
+    # --- round-4 serving ops -------------------------------------------
+    m, p, B = 256, 257, 4
+    qs = tuple(nt.ntt_primes(m, 30, 5))
+    params = she.SHEParams(m=m, p=p, qs=qs[:3], var=2.0)
+    sk = she.gen_sk(params, jax.random.PRNGKey(10))
+    bb = BatchedBGV(params, use_pallas=False)
+    rng = np.random.default_rng(1)
+    msgs = rng.integers(0, p, (params.ctx.n, B)).astype(np.int32)
+    c0, c1 = bb.build_encrypt(sk)(jnp.asarray(msgs), jax.random.PRNGKey(11))
+
+    # extended-modulus (hybrid) relinearization: hints over Q*P, KS
+    # noise divided by P
+    hx = bb.gen_ks_quad_hint_ext(sk, qs[3:], jax.random.PRNGKey(12))
+    e0, e1 = bb.build_step_ext(hx)(c0, c1, c0, c1)
+    params2 = she.SHEParams(m=m, p=p, qs=qs[:2], var=2.0)
+    sk2 = she.SK(params2, sk.s_ints, sk.var)
+    dec2 = BatchedBGV(params2, use_pallas=False).build_decrypt(
+        sk2, f=bb.step_f(1, 1)
+    )
+    ok = all(
+        np.array_equal(np.asarray(dec2(e0, e1))[:, b],
+                       she.pt_mul(params, msgs[:, b], msgs[:, b]))
+        for b in range(B)
+    )
+    print(f"ext-modulus hybrid keyswitch step (P ~ 2^60): "
+          f"{'OK' if ok else 'FAIL'}")
+
+    # standalone exact modulus switch + linear re-encryption
+    s0, s1 = bb.build_mod_switch()(c0, c1)
+    dec_ms = BatchedBGV(
+        she.SHEParams(m=m, p=p, qs=qs[:2], var=2.0), use_pallas=False
+    ).build_decrypt(sk2, f=bb.mod_switch_f(1))
+    sk_new = she.gen_sk(params, jax.random.PRNGKey(13))
+    lh = bb.gen_ks_linear_hint(sk_new, sk, jax.random.PRNGKey(14))
+    k0, k1 = bb.build_key_switch_linear(lh)(c0, c1)
+    dec_new = bb.build_decrypt(sk_new)
+    print("standalone mod_switch decrypts:",
+          np.array_equal(np.asarray(dec_ms(s0, s1)), msgs),
+          "| linear re-encryption decrypts:",
+          np.array_equal(np.asarray(dec_new(k0, k1)), msgs))
+
+    # batched homomorphic rounding: Z_8 -> Z_2 over a batch of scalars
+    from lol_tpu import gadget as gd, serving
+
+    p8 = 8
+    qs8 = tuple(nt.ntt_primes(32, 30, she.pt_round_mults(p8) + 2))
+    params8 = she.SHEParams(m=16, p=p8, qs=qs8, var=2.0)
+    sk8 = she.gen_sk(params8, jax.random.PRNGKey(15))
+    rh = she.pt_round_hints(sk8, gd.RnsGad(), jax.random.PRNGKey(16))
+    vals = [1, 3, 6]
+    cts = []
+    for b, v in enumerate(vals):
+        mm = np.zeros(params8.ctx.n, dtype=np.int64)
+        mm[0] = v
+        cts.append(she.encrypt(sk8, mm, jax.random.PRNGKey(17 + b)))
+    bb8 = BatchedBGV(params8, use_pallas=False)
+    r0_, r1_ = bb8.pack(cts)
+    bb_out, f_out, (y0, y1) = serving.batched_pt_round(bb8, rh, r0_, r1_)
+    sk_out = she.SK(bb_out.params, sk8.s_ints, sk8.var)
+    got = np.asarray(bb_out.build_decrypt(sk_out, f=f_out)(y0, y1))[0]
+    want = [((2 * v * 2 + p8) // (2 * p8)) % 2 for v in vals]
+    print(f"batched homomorphic rounding Z_8 -> Z_2: {list(got)} "
+          f"(expect {want}): {'OK' if list(got) == want else 'FAIL'}")
 
 
 if __name__ == "__main__":

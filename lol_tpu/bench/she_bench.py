@@ -61,12 +61,38 @@ def run(m: int = 8192, nrns: int = 3, batch: int = 2048, p: int = 257,
     jax.block_until_ready(out)
     dt = time.time() - t0
     rate = batch * iters / dt
+
+    def timed(fn, fn_args, its):
+        o = fn(*fn_args)
+        jax.block_until_ready(o)
+        t = time.time()
+        for _ in range(its):
+            o = fn(*fn_args)
+        jax.block_until_ready(o)
+        return batch * its / (time.time() - t)
+
+    # round-4 serving ops on the same inputs
+    kl, kx = jax.random.split(jax.random.PRNGKey(_seed() ^ 77))
+    ms_rate = timed(bb.build_mod_switch(), arrs[:2], max(iters // 2, 2))
+    sk2 = she.gen_sk(params, jax.random.PRNGKey(_seed() ^ 78))
+    lhint = bb.gen_ks_linear_hint(sk2, sk, kl)
+    ksl_rate = timed(
+        bb.build_key_switch_linear(lhint), arrs[:2], max(iters // 2, 2)
+    )
+    specials = tuple(nt.ntt_primes(m, 30, nrns + 2))[nrns:]
+    hx = bb.gen_ks_quad_hint_ext(sk, specials, kx)
+    ext_rate = timed(bb.build_step_ext(hx), arrs, max(iters // 2, 2))
+
     dev = jax.devices()[0].device_kind
     print(json.dumps({
         "metric": f"BGV ct-mult+keyswitch+rescale ops/sec, n={n}, {nrns}x30-bit RNS, {dev}",
         "value": round(rate),
         "unit": "ct-op/s",
         "vs_baseline": None,
+        "mod_switch_ops_per_sec": round(ms_rate),
+        "ks_linear_ops_per_sec": round(ksl_rate),
+        "step_ext_ops_per_sec": round(ext_rate),
+        "step_ext_specials": len(specials),
     }))
     return rate
 
