@@ -562,6 +562,26 @@ def ks_quad_circ_hint_ext(sk: SK, spec: gd.GadgetSpec, key,
     return _ks_hint_ext(sk, s2, spec, key, special_qs)
 
 
+def ks_linear_hint_ext(s_new: SK, s_old: SK, spec: gd.GadgetSpec, key,
+                       special_qs: tuple[int, ...]) -> KSHintExt:
+    """Linear (re-encryption) hint over the extended modulus Q*P (Lol
+    ksLinearHint with q'' > q) — the same P-division of the keyswitch
+    noise as the quadratic variant."""
+    tgt = Cyc.from_ints(s_new.params.ctx, s_old.s_ints)
+    return _ks_hint_ext(s_new, tgt, spec, key, special_qs)
+
+
+def key_switch_linear_ext(hint: KSHintExt, ct: CT) -> CT:
+    """Re-encrypt a 2-component ct with an extended-modulus hint (digit
+    inner product over Q*P, special primes dropped — keyswitch noise
+    divided by P)."""
+    if ct.degree != 1:
+        raise ValueError("key_switch_linear_ext: need a linear (2-comp) ct")
+    b0, b1 = _ks_inner_ext(hint, ct.cs[1])
+    return CT(ct.params, ct.ctx, (ct.cs[0].to_crt() + b0.to_crt(), b1.to_crt()),
+              f=ct.f, encoding=ct.encoding)
+
+
 def _ks_inner_ext(hint: KSHintExt, c: Cyc) -> tuple[Cyc, Cyc]:
     """Digit inner product over Q*P, then drop the special primes."""
     base_ctx = hint.params.ctx

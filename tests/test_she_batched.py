@@ -602,6 +602,49 @@ def test_batched_key_switch_linear(rng):
             )
 
 
+def test_batched_key_switch_linear_ext(rng):
+    """Extended-modulus linear re-encryption (the KSLinearHint side of
+    the q'' construction): build_key_switch_linear_ext ==
+    she.key_switch_linear_ext component-wise with object-path AND
+    device-generated hints; decrypts under the new key; and its KS
+    noise is strictly below the base-gadget linear keyswitch's."""
+    all5 = tuple(nt.ntt_primes(M, 30, 5))
+    special = all5[3:]
+    ks_, ks2, kh, khd, kb, *kes = jax.random.split(
+        jax.random.PRNGKey(230), 5 + 3
+    )
+    sk = she.gen_sk(PARAMS, ks_)
+    sk_new = she.gen_sk(PARAMS, ks2)
+    bb = BatchedBGV(PARAMS)
+    hint_obj = she.ks_linear_hint_ext(sk_new, sk, gd.RnsGad(), kh, special)
+    hint_dev = bb.gen_ks_linear_hint_ext(sk_new, sk, special, khd)
+    B = 3
+    cts = [she.encrypt(sk, she.pt_random(PARAMS, rng), kes[b])
+           for b in range(B)]
+    c0, c1 = bb.pack(cts)
+    for hint in (hint_obj, hint_dev):
+        e0, e1 = bb.build_key_switch_linear_ext(hint)(c0, c1)
+        outs = bb.unpack((e0, e1))
+        for b in range(B):
+            ref = she.key_switch_linear_ext(hint, cts[b])
+            for comp in range(2):
+                np.testing.assert_array_equal(
+                    np.asarray(outs[b].cs[comp].data),
+                    np.asarray(ref.cs[comp].to_crt().data),
+                )
+            np.testing.assert_array_equal(
+                she.decrypt(sk_new, outs[b]), she.decrypt(sk, cts[b])
+            )
+    # noise: ext vs base-gadget linear keyswitch on the same inputs
+    lh = she.ks_linear_hint(sk_new, sk, gd.RnsGad(), kb)
+    b0, b1 = bb.build_key_switch_linear(lh)(c0, c1)
+    x0, x1 = bb.build_key_switch_linear_ext(hint_dev)(c0, c1)
+    bits = bb.build_noise_bits(sk_new)
+    assert float(np.asarray(bits(x0, x1)).mean()) < float(
+        np.asarray(bits(b0, b1)).mean()
+    )
+
+
 def test_noise_bits_builds_for_very_long_chain():
     """Regression (ADVICE r3): the group-weight computation once called
     float(W) on the running chain product, overflowing for W > ~2^1024
