@@ -31,6 +31,22 @@ def test_pallas_cm_roundtrip(rng):
     np.testing.assert_array_equal(np.asarray(back), a)
 
 
+@pytest.mark.parametrize("window", [128, 256, 1024])
+def test_window_override_matches_default(window, rng):
+    """The tS window knob (small-batch sweep harness) changes only the
+    cross/block stage split — results stay bit-exact vs the default
+    split and the numpy oracle, both directions."""
+    n, q = 1024, 12289
+    plan = ntt.ntt_plan(n, q)
+    a = rng.integers(0, q, (n, 128), dtype=np.uint64).astype(np.uint32)
+    fwd = pk.ntt_cm(jnp.asarray(a), plan, interpret=True, window=window)
+    np.testing.assert_array_equal(
+        np.asarray(fwd), ntt.np_ntt_forward(a.T, plan).T
+    )
+    back = pk.ntt_cm(fwd, plan, inverse=True, interpret=True, window=window)
+    np.testing.assert_array_equal(np.asarray(back), a)
+
+
 def test_pallas_nonmultiple_batch_padding(rng):
     n, q = 256, 12289
     plan = ntt.ntt_plan(n, q)
