@@ -172,6 +172,37 @@ def ks_hint_from_proto(msg: pb.KSHint):
     )
 
 
+def ks_hint_ext_to_proto(h) -> pb.KSHintExt:
+    base_qs = h.params.qs
+    ext_qs = h.ctx_ext.basis.qs
+    return pb.KSHintExt(
+        m=h.params.m,
+        qs=list(base_qs),
+        special_qs=list(ext_qs[len(base_qs):]),
+        p=h.params.p,
+        var=h.params.var,
+        gad=_gad_to_str(h.spec),
+        h0=[cyc_to_proto(c) for c in h.h0],
+        h1=[cyc_to_proto(c) for c in h.h1],
+    )
+
+
+def ks_hint_ext_from_proto(msg: pb.KSHintExt):
+    from . import she
+
+    base_qs = tuple(int(q) for q in msg.qs)
+    special = tuple(int(q) for q in msg.special_qs)
+    params = she.SHEParams(
+        m=int(msg.m), p=int(msg.p), qs=base_qs, var=float(msg.var)
+    )
+    return she.KSHintExt(
+        params, ring_context(int(msg.m), base_qs + special), len(special),
+        _gad_from_str(msg.gad),
+        tuple(cyc_from_proto(c) for c in msg.h0),
+        tuple(cyc_from_proto(c) for c in msg.h1),
+    )
+
+
 def tunnel_hint_to_proto(th) -> pb.TunnelHint:
     return pb.TunnelHint(
         lin=linear_to_proto(th.lin),

@@ -123,6 +123,33 @@ def test_ks_hint_roundtrip_functional(rng):
     )
 
 
+def test_ks_hint_ext_roundtrip_functional(rng):
+    """Serialized+deserialized extended-modulus hint (both kinds ride
+    the same message) relinearizes / re-encrypts identically."""
+    from lol_tpu import gadget as gd
+    from lol_tpu import numtheory as nt
+    from lol_tpu.proto import lol_pb2 as pb
+
+    all5 = tuple(nt.ntt_primes(32, 30, 5))
+    params = she.SHEParams(m=32, p=17, qs=all5[:3], var=3.0)
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(17), 4)
+    sk = she.gen_sk(params, k1)
+    hint = she.ks_quad_circ_hint_ext(sk, gd.RnsGad(), k2, all5[3:])
+    wire = lio.ks_hint_ext_to_proto(hint).SerializeToString()
+    back = lio.ks_hint_ext_from_proto(pb.KSHintExt.FromString(wire))
+    assert back.ctx_ext == hint.ctx_ext
+    assert back.n_special == hint.n_special
+    m1, m2 = she.pt_random(params, rng), she.pt_random(params, rng)
+    prod = she.ct_mul(she.encrypt(sk, m1, k3), she.encrypt(sk, m2, k4))
+    ref = she.key_switch_quad_circ_ext(hint, prod)
+    got = she.key_switch_quad_circ_ext(back, prod)
+    for comp in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(got.cs[comp].to_crt().data),
+            np.asarray(ref.cs[comp].to_crt().data),
+        )
+
+
 def test_tunnel_hint_and_ct_encoding_roundtrip(rng):
     """TunnelHint survives proto round-trip and tunnels identically; the
     ciphertext encoding tag (MSD|LSD) round-trips."""
