@@ -41,10 +41,12 @@ def _mk(bb: BatchedBGV, p_cur: int, L: int) -> BatchedBGV:
     )
 
 
-def batched_pt_round(bb: BatchedBGV, rh: she.PTRoundHints, c0, c1,
-                     f: int = 1):
-    """she.pt_round over a batch: (bb, rh, (nrns, n, B) components, f)
-    -> (bb_out, f_out, (c0', c1')) over the post-rounding chain/modulus.
+def build_pt_round(bb: BatchedBGV, rh: she.PTRoundHints, f: int = 1):
+    """Builder-style she.pt_round over batches: constructs every stage's
+    jitted builder ONCE and returns (run, bb_out, f_out), where
+    run: (c0, c1) -> (c0', c1') over bb_out's chain — reuse `run`
+    across serving calls (the stage program and all scale bookkeeping
+    are data-independent, so they are laid out at build time).
 
     The schedule is she.pt_round's, statement for statement (hint i is
     consumed at chain prefix L0 - i, exactly as pt_round_hints lays the
@@ -53,53 +55,91 @@ def batched_pt_round(bb: BatchedBGV, rh: she.PTRoundHints, c0, c1,
     p = bb.params.p
     pr, k = she._pt_round_base(p)
     if k == 1:
-        return bb, f, (c0, c1)
+        return (lambda c0, c1: (c0, c1)), bb, f
     it = iter(rh.hints)
     L = len(bb.params.qs)
     py, fy, Ly = p, f, L
-    y = (c0, c1)
+    prog = []  # closures over state {"y": pair, "b": pair}
+
     if pr == 2:
         shift = np.zeros((bb.ctx.n, 1), dtype=np.int32)
         shift[0, 0] = 1 << (k - 2)
-        y = bb.build_add_public(f=f)(c0, c1, jnp.asarray(shift))
+        addp = bb.build_add_public(f=f)
+        sa = jnp.asarray(shift)
+        prog.append(lambda st: {**st, "y": addp(*st["y"], sa)})
 
-    def align(pair, fcur, Lcur, Ltgt):
-        while Lcur > Ltgt:
-            cur = _mk(bb, py, Lcur)
-            pair = cur.build_mod_switch()(*pair)
-            fcur = cur.mod_switch_f(fcur)
-            Lcur -= 1
-        return pair, fcur
+    def emit_square(reg, pcur, Lcur, hint):
+        step = _mk(bb, pcur, Lcur).build_step(hint)
+        prog.append(
+            lambda st: {**st, reg: step(*st[reg], *st[reg])}
+        )
+
+    def emit_align(reg, pcur, Lfrom, Lto):
+        for Lc in range(Lfrom, Lto, -1):
+            ms = _mk(bb, pcur, Lc).build_mod_switch()
+            prog.append(lambda st, ms=ms: {**st, reg: ms(*st[reg])})
 
     for j in range(k, 1, -1):
         if pr == 2:
-            b, fb, Lb = y, fy, Ly
+            fb, Lb = fy, Ly
+            prog.append(lambda st: {**st, "b": st["y"]})
             for _ in range(she._lsb_squarings(j)):
                 cur = _mk(bb, py, Lb)
-                b = cur.build_step(next(it))(b[0], b[1], b[0], b[1])
+                emit_square("b", py, Lb, next(it))
                 fb = cur.step_f(fb, fb)
                 Lb -= 1
         else:
-            t, ft, Lt = y, fy, Ly
-            for _ in range(j - 1):  # t <- t^3 (square, align, times t)
+            ft, Lt = fy, Ly
+            prog.append(lambda st: {**st, "b": st["y"]})
+            for _ in range(j - 1):  # b <- b^3 (square, align, times b)
                 cur = _mk(bb, py, Lt)
-                sq = cur.build_step(next(it))(t[0], t[1], t[0], t[1])
+                sq_step = cur.build_step(next(it))
+                prog.append(
+                    lambda st, s=sq_step: {**st, "sq": s(*st["b"], *st["b"])}
+                )
                 fsq = cur.step_f(ft, ft)
-                t, ft = align(t, ft, Lt, Lt - 1)
+                emit_align("b", py, Lt, Lt - 1)
+                ft = _mk(bb, py, Lt).mod_switch_f(ft)
                 Lt -= 1
                 cur = _mk(bb, py, Lt)
-                t = cur.build_step(next(it))(sq[0], sq[1], t[0], t[1])
+                mul_step = cur.build_step(next(it))
+                prog.append(
+                    lambda st, s=mul_step: {
+                        **st, "b": s(*st["sq"], *st["b"])
+                    }
+                )
                 ft = cur.step_f(fsq, ft)
                 Lt -= 1
-            b, fb, Lb = t, ft, Lt
-        y, fy = align(y, fy, Ly, Lb)
-        Ly = Lb
+            fb, Lb = ft, Lt
+        emit_align("y", py, Ly, Lb)
+        while Ly > Lb:
+            fy = _mk(bb, py, Ly).mod_switch_f(fy)
+            Ly -= 1
         cur = _mk(bb, py, Ly)
-        diff = cur.build_add(f_a=fy, f_b=fb, sub=True)(*y, *b)
-        y = cur.build_div_d(pr)(*diff)
+        sub = cur.build_add(f_a=fy, f_b=fb, sub=True)
+        div = cur.build_div_d(pr)
+        prog.append(
+            lambda st, sub=sub, div=div: {
+                **st, "y": div(*sub(*st["y"], *st["b"]))
+            }
+        )
         fy = cur.div_d_f(pr, fy)
         py //= pr
-    return _mk(bb, py, Ly), fy, y
+
+    def run(c0, c1):
+        st = {"y": (c0, c1)}
+        for op in prog:
+            st = op(st)
+        return st["y"]
+
+    return run, _mk(bb, py, Ly), fy
+
+
+def batched_pt_round(bb: BatchedBGV, rh: she.PTRoundHints, c0, c1,
+                     f: int = 1):
+    """One-shot form of build_pt_round: (bb_out, f_out, (c0', c1'))."""
+    run, bb_out, f_out = build_pt_round(bb, rh, f=f)
+    return bb_out, f_out, run(c0, c1)
 
 
 def batched_homom_prf_component(fam, hints, bb: BatchedBGV, c0, c1,

@@ -33,7 +33,12 @@ def test_batched_pt_round_matches_object(p):
         cts.append(she.encrypt(sk, m, jax.random.PRNGKey(72 + b)))
     bb = BatchedBGV(params)
     c0, c1 = bb.pack(cts)
-    bb_out, f_out, (e0, e1) = serving.batched_pt_round(bb, rh, c0, c1)
+    run, bb_out, f_out = serving.build_pt_round(bb, rh)
+    e0, e1 = run(c0, c1)
+    # the builder is reusable: a second invocation on a permuted batch
+    # gives the same per-column results (stages were built once)
+    p0, p1 = run(c0[..., ::-1], c1[..., ::-1])
+    np.testing.assert_array_equal(np.asarray(p0)[..., ::-1], np.asarray(e0))
     refs = [she.pt_round(ct, rh) for ct in cts]
     pr = 2 if p == 8 else 3
     assert bb_out.params.p == pr
