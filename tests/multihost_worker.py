@@ -107,6 +107,20 @@ def main(pid: int, nproc: int, port: int) -> None:
                 np.asarray(shard.data), refn[shard.index]
             )
 
+    # round-4: the extended-modulus (hybrid) keyswitch step over the
+    # same host-spanning mesh (deterministic device keygen gives both
+    # processes the same Q*P hints), vs the local unsharded oracle
+    specials = tuple(nt.ntt_primes(m_she, 30, 4))[2:]
+    hx = bb.gen_ks_quad_hint_ext(sk, specials, jax.random.PRNGKey(8))
+    x0, x1 = bb.build_step_ext(hx)(*gargs)
+    rx0, rx1 = bb.build_step_ext(hx)(*comps)
+    for got, ref in ((x0, rx0), (x1, rx1)):
+        refn = np.asarray(ref)
+        for shard in got.addressable_shards:
+            np.testing.assert_array_equal(
+                np.asarray(shard.data), refn[shard.index]
+            )
+
     print(f"MULTIHOST_OK {pid}", flush=True)
 
 
