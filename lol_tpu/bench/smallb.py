@@ -132,9 +132,13 @@ def main() -> None:
               f"(spread {min(rates):,.0f}-{max(rates):,.0f})",
               file=sys.stderr, flush=True)
 
-    best = max((v, k) for k, v in results.items() if v is not None)
-    print(f"\nbest at B={B}: {best[1]} -> {best[0]:,.0f} NTT/s",
-          file=sys.stderr)
+    ok = [(v, k) for k, v in results.items() if v is not None]
+    if ok:
+        best = max(ok)
+        print(f"\nbest at B={B}: {best[1]} -> {best[0]:,.0f} NTT/s",
+              file=sys.stderr)
+    else:
+        print(f"\nno combo succeeded at B={B}", file=sys.stderr)
     import json
 
     print(json.dumps({"B": B, "n": n, "results": results}))

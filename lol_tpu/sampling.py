@@ -18,6 +18,8 @@ real inverse-CRT mixing matrix (with ops/general.py).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -69,9 +71,6 @@ def _dec_mixing_matrix(m: int) -> np.ndarray:
     for Li in _gen.dec_mixing_factors(m):
         out = np.kron(out, Li)
     return out
-
-
-from functools import lru_cache
 
 
 @lru_cache(maxsize=256)

@@ -247,6 +247,52 @@ class BatchedBGV:
              for i in range(x.shape[0])]
         )
 
+    def _mesh_gathered(self, x, mesh):
+        """Replicate a stack over the 'rns' mesh axis so per-digit
+        channel re-expansion / cross-channel reads are local."""
+        if mesh is None:
+            return x
+        spec = (None,) * (x.ndim - 1) + ("data",)
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*spec))
+        )
+
+    def _mesh_channel_sharded(self, x, mesh):
+        if mesh is None:
+            return x
+        spec = (None,) * (x.ndim - 3) + ("rns", None, "data")
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*spec))
+        )
+
+    def _ext_hint_setup(self, hint: she.KSHintExt, mesh=None):
+        """Shared validation + constants for the extended-modulus
+        builders: the hint's chain must extend the pipeline chain;
+        returns (ctx_ext, ext_qs, hint constants, special-prime drops)."""
+        if not isinstance(hint.spec, RnsGad):
+            raise ValueError("batched pipeline uses the RNS gadget")
+        qs = self.qs
+        nrns = len(qs)
+        ctx_ext = hint.ctx_ext
+        ext_qs = ctx_ext.basis.qs
+        if ext_qs[:nrns] != qs or nrns + hint.n_special != len(ext_qs):
+            raise ValueError(
+                "extended-modulus hint's chain does not extend the "
+                f"pipeline chain (ext={ext_qs}, base={qs})"
+            )
+        h0, h0s = _hint_const_sh(hint.h0, ext_qs)
+        h1, h1s = _hint_const_sh(hint.h1, ext_qs)
+        drops = [
+            self._rescale_crt(
+                encoding="lsd",
+                mesh=mesh,
+                qs=ext_qs[: nrns + k],
+                ctx=ring_context(self.params.m, ext_qs[: nrns + k]),
+            )
+            for k in range(hint.n_special, 0, -1)
+        ]
+        return ctx_ext, ext_qs, (h0, h0s, h1, h1s), drops
+
     def _digit_crt(self, src_i, i, known_crt, qs, ctx=None):
         """Digit i's CRT stack straight from the coefficient-domain
         channel src_i = iNTT(x)[i]: the re-expansion into channel j
@@ -658,14 +704,6 @@ class BatchedBGV:
         ql = qs[-1]
         pinv_l = nt.modinv(p % ql, ql)
 
-        def _gathered(x):
-            if mesh is None:
-                return x
-            spec = (None,) * (x.ndim - 1) + ("data",)
-            return jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, P(*spec))
-            )
-
         def rescale(comp):
             last_c = self._crt_one(comp[-1], nrns - 1, inverse=True, ctx=ctx)
             if msd:
@@ -675,7 +713,7 @@ class BatchedBGV:
                     last_c, jnp.uint32(pinv_l),
                     jnp.uint32(zq.shoup(pinv_l, ql)), ql,
                 )
-            v = _gathered(v)
+            v = self._mesh_gathered(v, mesh)
             is_high = v >= jnp.uint32((ql + 1) // 2)
             chans = []
             for i, qi in enumerate(qs[:-1]):
@@ -770,24 +808,6 @@ class BatchedBGV:
         h0, h0s = _hint_const_sh(hint.h0, qs)
         h1, h1s = _hint_const_sh(hint.h1, qs)
 
-        def _gathered(x):
-            """Replicate a stack over the 'rns' mesh axis so per-digit
-            channel re-expansion / cross-channel reads are local."""
-            if mesh is None:
-                return x
-            spec = (None,) * (x.ndim - 1) + ("data",)
-            return jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, P(*spec))
-            )
-
-        def _channel_sharded(x):
-            if mesh is None:
-                return x
-            spec = (None,) * (x.ndim - 3) + ("rns", None, "data")
-            return jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, P(*spec))
-            )
-
         rescale_crt = self._rescale_crt(encoding=encoding, mesh=mesh)
 
         @jax.jit
@@ -815,10 +835,12 @@ class BatchedBGV:
             # key switch e2: coefficient-domain digits, NTT back, inner
             # prod; the digit re-expansion runs as an in-kernel prologue
             # of each channel's forward NTT (no digit arrays in HBM)
-            e2c = _gathered(self._ntt(e2, inverse=True))
+            e2c = self._mesh_gathered(self._ntt(e2, inverse=True), mesh)
             for i in range(nrns):
                 # digit i's channel i is e2c[i] itself -> its NTT is e2[i]
-                di = _channel_sharded(self._digit_crt(e2c[i], i, e2, qs))
+                di = self._mesh_channel_sharded(
+                    self._digit_crt(e2c[i], i, e2, qs), mesh
+                )
                 e0 = _addmod_ch(qs, e0, _mulmod_sh_ch(qs, di, h0[i], h0s[i]))
                 e1 = _addmod_ch(qs, e1, _mulmod_sh_ch(qs, di, h1[i], h1s[i]))
             return rescale_crt(e0), rescale_crt(e1)
@@ -826,11 +848,12 @@ class BatchedBGV:
         return step
 
     # --- the fused step with extended-modulus (hybrid) key switching --------
-    def build_step_ext(self, hint: she.KSHintExt, encoding: str = "lsd"):
+    def build_step_ext(self, hint: she.KSHintExt, encoding: str = "lsd",
+                       mesh=None):
         """jit-compiled (c0,c1,d0,d1) -> (e0,e1) over the dropped-prime
         chain: ct_mul + keySwitchQuadCircExt + modSwitch — the hybrid
         variant of build_step (VERDICT r3 #3; SURVEY §3.6 "hints over an
-        extended modulus q''").
+        extended modulus q'').  mesh: as in build_step.
 
         The e2 digits (base-chain RNS gadget, re-expansion fused into
         each forward transform) inner-product with hints over Q*P; the
@@ -844,33 +867,15 @@ class BatchedBGV:
         relative to build_step (demonstrated by the build_noise_bits
         comparison in tests).  Scale bookkeeping: step_f (unchanged vs
         the base step — the P-drop re-enters the s^2 term exactly)."""
-        if not isinstance(hint.spec, RnsGad):
-            raise ValueError("batched pipeline uses the RNS gadget")
         qs = self.qs
         nrns = len(qs)
         p = self.params.p
         msd = _check_encoding(encoding) == "msd"
         p_consts = [(p % q, zq.shoup(p % q, q)) for q in qs]
-        ctx_ext = hint.ctx_ext
-        ext_qs = ctx_ext.basis.qs
-        nrns_ext = len(ext_qs)
-        if ext_qs[:nrns] != qs or nrns + hint.n_special != nrns_ext:
-            raise ValueError(
-                "build_step_ext: hint's extended chain does not extend "
-                f"the pipeline chain (ext={ext_qs}, base={qs})"
-            )
-        h0, h0s = _hint_const_sh(hint.h0, ext_qs)
-        h1, h1s = _hint_const_sh(hint.h1, ext_qs)
-        # P-drop rescales over the shrinking extended chains
-        drops = [
-            self._rescale_crt(
-                encoding="lsd",
-                qs=ext_qs[: nrns + k],
-                ctx=ring_context(self.params.m, ext_qs[: nrns + k]),
-            )
-            for k in range(hint.n_special, 0, -1)
-        ]
-        final = self._rescale_crt(encoding=encoding)
+        ctx_ext, ext_qs, (h0, h0s, h1, h1s), drops = self._ext_hint_setup(
+            hint, mesh=mesh
+        )
+        final = self._rescale_crt(encoding=encoding, mesh=mesh)
 
         @jax.jit
         def step(c0, c1, d0, d1):
@@ -887,18 +892,15 @@ class BatchedBGV:
             e0 = _mulmod_ch(qs, c0, d0)
             e1 = _addmod_ch(qs, _mulmod_ch(qs, c0, d1), _mulmod_ch(qs, c1, d0))
             e2 = _mulmod_ch(qs, c1, d1)
-            e2c = self._ntt(e2, inverse=True)
+            e2c = self._mesh_gathered(self._ntt(e2, inverse=True), mesh)
             acc0 = acc1 = None
             for i in range(nrns):
                 # digit i over ALL extended channels; base channel i is
                 # the free diagonal (e2[i] itself)
-                di = jnp.stack([
-                    e2[i] if ch == i
-                    else self._crt_one(
-                        e2c[i], ch, ctx=ctx_ext, pre_digit_q=qs[i]
-                    )
-                    for ch in range(nrns_ext)
-                ])
+                di = self._mesh_channel_sharded(
+                    self._digit_crt(e2c[i], i, e2, ext_qs, ctx=ctx_ext),
+                    mesh,
+                )
                 t0 = _mulmod_sh_ch(ext_qs, di, h0[i], h0s[i])
                 t1 = _mulmod_sh_ch(ext_qs, di, h1[i], h1s[i])
                 acc0 = t0 if acc0 is None else _addmod_ch(ext_qs, acc0, t0)
@@ -970,13 +972,6 @@ class BatchedBGV:
         hints0 = [_hint_const_sh(hh.h0, qs) for hh in th.hints]
         hints1 = [_hint_const_sh(hh.h1, qs) for hh in th.hints]
 
-        def _gathered(x):
-            if mesh is None:
-                return x
-            return jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, P(None, None, "data"))
-            )
-
         def _ntt_s(x, inverse=False):
             return self._ntt(x, inverse=inverse, ctx=s_ctx)
 
@@ -989,8 +984,8 @@ class BatchedBGV:
         @jax.jit
         def tun(c0, c1):
             B = c0.shape[-1]
-            c0p = _gathered(self._ntt(c0, inverse=True))
-            c1p = _gathered(self._ntt(c1, inverse=True))
+            c0p = self._mesh_gathered(self._ntt(c0, inverse=True), mesh)
+            c1p = self._mesh_gathered(self._ntt(c1, inverse=True), mesh)
             e0 = jnp.zeros((nrns, n_s, B), dtype=jnp.uint32)
             e1 = jnp.zeros((nrns, n_s, B), dtype=jnp.uint32)
             for i in range(d):
@@ -1150,47 +1145,27 @@ class BatchedBGV:
         tgt = _s_crt_np(ctx_ext, s_old.s_ints)  # (nrns_ext, n)
         return self._gen_hint_ext(s_new, tgt, tuple(special_qs), key)
 
-    def build_key_switch_linear_ext(self, hint: she.KSHintExt):
+    def build_key_switch_linear_ext(self, hint: she.KSHintExt, mesh=None):
         """jit-compiled (c0, c1) -> (e0, e1): batched re-encryption with
         an extended-modulus hint — c1's base-chain digits inner-product
         with hints over Q*P, the special primes are dropped by repeated
         exact rescales, and the result rejoins c0 over Q (bit-exact vs
         she.key_switch_linear_ext; KS noise divided by P)."""
-        if not isinstance(hint.spec, RnsGad):
-            raise ValueError("batched pipeline uses the RNS gadget")
         qs = self.qs
         nrns = len(qs)
-        ctx_ext = hint.ctx_ext
-        ext_qs = ctx_ext.basis.qs
-        nrns_ext = len(ext_qs)
-        if ext_qs[:nrns] != qs or nrns + hint.n_special != nrns_ext:
-            raise ValueError(
-                "build_key_switch_linear_ext: hint's extended chain does "
-                f"not extend the pipeline chain (ext={ext_qs}, base={qs})"
-            )
-        h0, h0s = _hint_const_sh(hint.h0, ext_qs)
-        h1, h1s = _hint_const_sh(hint.h1, ext_qs)
-        drops = [
-            self._rescale_crt(
-                encoding="lsd",
-                qs=ext_qs[: nrns + k],
-                ctx=ring_context(self.params.m, ext_qs[: nrns + k]),
-            )
-            for k in range(hint.n_special, 0, -1)
-        ]
+        ctx_ext, ext_qs, (h0, h0s, h1, h1s), drops = self._ext_hint_setup(
+            hint, mesh=mesh
+        )
 
         @jax.jit
         def ksl(c0, c1):
-            c1c = self._ntt(c1, inverse=True)
+            c1c = self._mesh_gathered(self._ntt(c1, inverse=True), mesh)
             acc0 = acc1 = None
             for i in range(nrns):
-                di = jnp.stack([
-                    c1[i] if ch == i
-                    else self._crt_one(
-                        c1c[i], ch, ctx=ctx_ext, pre_digit_q=qs[i]
-                    )
-                    for ch in range(nrns_ext)
-                ])
+                di = self._mesh_channel_sharded(
+                    self._digit_crt(c1c[i], i, c1, ext_qs, ctx=ctx_ext),
+                    mesh,
+                )
                 t0 = _mulmod_sh_ch(ext_qs, di, h0[i], h0s[i])
                 t1 = _mulmod_sh_ch(ext_qs, di, h1[i], h1s[i])
                 acc0 = t0 if acc0 is None else _addmod_ch(ext_qs, acc0, t0)
