@@ -756,13 +756,14 @@ class BatchedBGV:
         return f * nt.modinv(self.qs[-1] % p, p) % p
 
     # --- standalone batched linear key switch (re-encryption) ---------------
-    def build_key_switch_linear(self, hint: she.KSHint):
+    def build_key_switch_linear(self, hint: she.KSHint, mesh=None):
         """jit-compiled (c0, c1) -> (e0, e1): re-encrypt a degree-1 ct
         from the hint's old key to its new key (she.key_switch_linear,
         batched; encoding-uniform — VERDICT r3 #4).  The digit path is
         build_galois's with the identity permutation:
         e0 = c0 + sum_i d_i h0_i, e1 = sum_i d_i h1_i, with the digit
-        re-expansion fused into each channel's forward transform."""
+        re-expansion fused into each channel's forward transform.
+        mesh: as in build_step."""
         if not isinstance(hint.spec, RnsGad):
             raise ValueError("batched pipeline uses the RNS gadget")
         qs = self.qs
@@ -772,10 +773,12 @@ class BatchedBGV:
 
         @jax.jit
         def ksl(c0, c1):
-            c1c = self._ntt(c1, inverse=True)
+            c1c = self._mesh_gathered(self._ntt(c1, inverse=True), mesh)
             e0, e1 = c0, jnp.zeros_like(c1)
             for i in range(nrns):
-                di = self._digit_crt(c1c[i], i, c1, qs)
+                di = self._mesh_channel_sharded(
+                    self._digit_crt(c1c[i], i, c1, qs), mesh
+                )
                 e0 = _addmod_ch(qs, e0, _mulmod_sh_ch(qs, di, h0[i], h0s[i]))
                 e1 = _addmod_ch(qs, e1, _mulmod_sh_ch(qs, di, h1[i], h1s[i]))
             return e0, e1
@@ -914,11 +917,11 @@ class BatchedBGV:
         return step
 
     # --- batched Galois automorphism (hom. slot rotation) -------------------
-    def build_galois(self, hint: she.KSHint, k: int):
+    def build_galois(self, hint: she.KSHint, k: int, mesh=None):
         """jit-compiled (c0, c1) -> (e0, e1): apply sigma_k to both
         components (CRT slot permutation, a static gather) and key-switch
         the permuted c1 back under s with the sigma_k(s) hint
-        (she.ks_galois_hint)."""
+        (she.ks_galois_hint).  mesh: as in build_step."""
         from . import zmstar
 
         qs = self.qs
@@ -933,10 +936,12 @@ class BatchedBGV:
         def gal(c0, c1):
             c0k = c0[:, perm, :]
             c1k = c1[:, perm, :]
-            c1c = self._ntt(c1k, inverse=True)
+            c1c = self._mesh_gathered(self._ntt(c1k, inverse=True), mesh)
             e0, e1 = c0k, jnp.zeros_like(c1k)
             for i in range(nrns):
-                di = self._digit_crt(c1c[i], i, c1k, qs)
+                di = self._mesh_channel_sharded(
+                    self._digit_crt(c1c[i], i, c1k, qs), mesh
+                )
                 e0 = _addmod_ch(qs, e0, _mulmod_sh_ch(qs, di, h0[i], h0s[i]))
                 e1 = _addmod_ch(qs, e1, _mulmod_sh_ch(qs, di, h1[i], h1s[i]))
             return e0, e1
