@@ -280,34 +280,50 @@ def bench_tunnel(m_r, m_s, nrns, batch, iters, p=257):
     return batch * iters / (time.time() - t0)
 
 
+def _retry(fn, *args, attempts=2, **kw):
+    """Retry a bench leg once on transient tunnel/remote-compile flakes
+    (e.g. 'response body closed before all bytes were read') — the
+    driver's round-end capture is one-shot, so a single infra hiccup
+    should not zero a whole row.  Real failures still raise."""
+    for a in range(attempts):
+        try:
+            return fn(*args, **kw)
+        except Exception as e:  # noqa: BLE001 — transient infra errors
+            if a + 1 == attempts:
+                raise
+            _mark(f"leg failed ({str(e).splitlines()[0][:120]}); retrying")
+            time.sleep(10)
+
+
 def main():
     import jax
 
     _mark("ntt leg")
-    n_ntt, ntt_stats, device = bench_ntt()
+    n_ntt, ntt_stats, device = _retry(bench_ntt)
     _mark(f"ntt leg done: {ntt_stats['value']:.0f}/s at B={ntt_stats['batch']}")
     on_tpu = device.platform == "tpu"
     # config 5 scale on TPU; tiny smoke ring off-TPU (dev machines)
     m_she = 32768 if on_tpu else 256
     batch = 1024 if on_tpu else 128  # 1024: +5% over 512 (grid amortization)
     iters = 30 if on_tpu else 2  # ~1s windows amortize the sync overhead
-    n_bgv, bgv_rate = bench_bgv(m_she, nrns=3, batch=batch, iters=iters)
+    n_bgv, bgv_rate = _retry(bench_bgv, m_she, nrns=3, batch=batch,
+                             iters=iters)
     # the n=4096 pipeline (README's "~78k" claim), driver-verifiable
     m_4k = 8192 if on_tpu else 128
-    _, bgv4k_rate = bench_bgv(m_4k, nrns=3, batch=batch, iters=iters)
+    _, bgv4k_rate = _retry(bench_bgv, m_4k, nrns=3, batch=batch, iters=iters)
     # config-3 composite-m pipeline (m = 2^a * 3^b): the 2-axis rides the
     # same Pallas kernels on a free reshape, the 3^2 axis a dense matvec
     m_gen = 18432 if on_tpu else 72  # 2^11 * 3^2, phi = 6144
-    n_gen, bgv_gen_rate = bench_bgv(m_gen, nrns=3, batch=batch, iters=iters,
-                                    p=7)
-    tunnel_rate = bench_tunnel(
-        m_she, m_she // 2, nrns=3, batch=batch, iters=iters
+    n_gen, bgv_gen_rate = _retry(bench_bgv, m_gen, nrns=3, batch=batch,
+                                 iters=iters, p=7)
+    tunnel_rate = _retry(
+        bench_tunnel, m_she, m_she // 2, nrns=3, batch=batch, iters=iters
     )
     # general-m tower tunneling with DEVICE-generated hints (r3 #1):
     # m = 2^11*3^2 -> 2^10*3^2 at config-3 scale
     m_gt = (18432, 9216) if on_tpu else (72, 36)
-    tunnel_gen_rate = bench_tunnel(
-        m_gt[0], m_gt[1], nrns=3, batch=batch, iters=iters, p=7
+    tunnel_gen_rate = _retry(
+        bench_tunnel, m_gt[0], m_gt[1], nrns=3, batch=batch, iters=iters, p=7
     )
     baseline = 1_000_000.0
     print(
