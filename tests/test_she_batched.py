@@ -125,6 +125,48 @@ def test_batched_galois_matches_object(rng):
                                       she.decrypt(sk, ref))
 
 
+def test_batched_galois_hoisted(rng):
+    """build_galois_many (hoisted rotations: one decompose shared by
+    all sigma_k) — bit-exact vs per-k build_galois at 2-power m (the
+    automorphism is a signed coefficient permutation, which commutes
+    with centered digit extraction), and decrypt-identical at general m
+    (the permuted digits are a valid non-canonical decomposition)."""
+    sk = she.gen_sk(PARAMS, jax.random.PRNGKey(240))
+    bb = BatchedBGV(PARAMS)
+    ks = (3, 5, 63)
+    hints = {
+        k: she.ks_galois_hint(k, sk, gd.RnsGad(),
+                              jax.random.PRNGKey(241 + k))
+        for k in ks
+    }
+    B = 3
+    cts = [she.encrypt(sk, she.pt_random(PARAMS, rng),
+                       jax.random.PRNGKey(250 + b)) for b in range(B)]
+    c0, c1 = bb.pack(cts)
+    outs = bb.build_galois_many(hints)(c0, c1)
+    for k in ks:
+        ref = bb.build_galois(hints[k], k)(c0, c1)
+        for got, want in zip(outs[k], ref):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # general m: decrypt equality (digits differ from the canonical ones)
+    m = 36
+    qs = tuple(nt.ntt_primes(m, 30, 3))
+    params = she.SHEParams(m=m, p=5, qs=qs, var=2.0)
+    skg = she.gen_sk(params, jax.random.PRNGKey(260))
+    bbg = BatchedBGV(params, use_pallas=False)
+    kg = 5  # unit mod 36
+    hg = {kg: she.ks_galois_hint(kg, skg, gd.RnsGad(),
+                                 jax.random.PRNGKey(261))}
+    ctg = she.encrypt(skg, she.pt_random(params, rng),
+                      jax.random.PRNGKey(262))
+    g0, g1 = bbg.pack([ctg])
+    e0, e1 = bbg.build_galois_many(hg)(g0, g1)[kg]
+    out = bbg.unpack((e0, e1))[0]
+    ref = she.ct_galois(hg[kg], kg, ctg)
+    np.testing.assert_array_equal(she.decrypt(skg, out),
+                                  she.decrypt(skg, ref))
+
+
 def test_batched_tunnel_matches_object(rng):
     """Fused device tunnel == she.tunnel, component-wise bit-exact (r1 #2)."""
     from lol_tpu import linear as lin
