@@ -284,14 +284,23 @@ def _retry(fn, *args, attempts=2, **kw):
     """Retry a bench leg once on transient tunnel/remote-compile flakes
     (e.g. 'response body closed before all bytes were read') — the
     driver's round-end capture is one-shot, so a single infra hiccup
-    should not zero a whole row.  Real failures still raise."""
+    should not zero a whole row.  Correctness-guard AssertionErrors are
+    deterministic and NOT retried.  The retry re-salts the process seed
+    so the re-run never re-dispatches a chain the (possibly
+    reconnected) remote session has already seen — the cross-process
+    result cache would otherwise serve phantom rates."""
+    global _SEED
     for a in range(attempts):
         try:
             return fn(*args, **kw)
+        except AssertionError:
+            raise  # a real bit-exactness regression, not an infra flake
         except Exception as e:  # noqa: BLE001 — transient infra errors
             if a + 1 == attempts:
                 raise
-            _mark(f"leg failed ({str(e).splitlines()[0][:120]}); retrying")
+            msg = (str(e).splitlines() or [repr(e)])[0][:120]
+            _mark(f"leg failed ({msg}); retrying")
+            _SEED = (_SEED * 0x9E3779B1 + a + 1) & 0x7FFFFFFF
             time.sleep(10)
 
 

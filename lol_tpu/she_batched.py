@@ -975,12 +975,24 @@ class BatchedBGV:
         for k, hint in sorted(hints.items()):
             if not isinstance(hint.spec, RnsGad):
                 raise ValueError("batched pipeline uses the RNS gadget")
-            perm = jnp.asarray(
-                zmstar.automorphism_slot_perm(self.ctx.m, qs[0], k)
-            )
-            h0, h0s = _hint_const_sh(hint.h0, qs)
-            h1, h1s = _hint_const_sh(hint.h1, qs)
-            rots.append((k, perm, h0, h0s, h1, h1s))
+            perm_np = zmstar.automorphism_slot_perm(self.ctx.m, qs[0], k)
+            inv_np = np.argsort(perm_np)
+            # pre-permute the HINT tables by sigma^{-1} (host numpy) so
+            # the per-rotation body is pure Hadamards on the SHARED
+            # digit stacks: e_k = sigma(c + sum_i d_i * sigma^{-1}(h_i))
+            # — pointwise modular ops commute with slot permutation, so
+            # this is bit-identical while needing only ONE slot gather
+            # per output component (vs nrns+1 per rotation)
+            hp = []
+            for hs in (hint.h0, hint.h1):
+                w = np.stack([_cyc_crt_np(h) for h in hs])[:, :, inv_np]
+                wsh = np.stack(
+                    [zq.shoup_np(w[:, i], q) for i, q in enumerate(qs)],
+                    axis=1,
+                )
+                hp.append((jnp.asarray(w)[..., None],
+                           jnp.asarray(wsh)[..., None]))
+            rots.append((k, jnp.asarray(perm_np), hp[0], hp[1]))
 
         @jax.jit
         def gals(c0, c1):
@@ -992,17 +1004,15 @@ class BatchedBGV:
                 for i in range(nrns)
             ]
             outs = {}
-            for k, perm, h0, h0s, h1, h1s in rots:
-                e0 = c0[:, perm, :]
-                e1 = None
+            for k, perm, (h0, h0s), (h1, h1s) in rots:
+                acc0, acc1 = c0, None
                 for i in range(nrns):
-                    dk = digits[i][:, perm, :]
-                    e0 = _addmod_ch(
-                        qs, e0, _mulmod_sh_ch(qs, dk, h0[i], h0s[i])
+                    acc0 = _addmod_ch(
+                        qs, acc0, _mulmod_sh_ch(qs, digits[i], h0[i], h0s[i])
                     )
-                    t1 = _mulmod_sh_ch(qs, dk, h1[i], h1s[i])
-                    e1 = t1 if e1 is None else _addmod_ch(qs, e1, t1)
-                outs[k] = (e0, e1)
+                    t1 = _mulmod_sh_ch(qs, digits[i], h1[i], h1s[i])
+                    acc1 = t1 if acc1 is None else _addmod_ch(qs, acc1, t1)
+                outs[k] = (acc0[:, perm, :], acc1[:, perm, :])
             return outs
 
         return gals
