@@ -118,9 +118,23 @@ def main():
           "| linear re-encryption decrypts:",
           np.array_equal(np.asarray(dec_new(k0, k1)), msgs))
 
-    # batched homomorphic rounding: Z_8 -> Z_2 over a batch of scalars
+    # hoisted rotation batch: one decompose shared by all sigma_k
     from lol_tpu import gadget as gd, serving
 
+    ghints = {k: she.ks_galois_hint(k, sk, gd.RnsGad(),
+                                    jax.random.PRNGKey(20 + k))
+              for k in (3, 5)}
+    outs = bb.build_galois_many(ghints)(c0, c1)
+    ok = all(
+        np.array_equal(
+            np.asarray(bb.build_decrypt(sk)(*outs[k])),
+            np.asarray(bb.build_decrypt(sk)(*bb.build_galois(ghints[k], k)(c0, c1))),
+        )
+        for k in (3, 5)
+    )
+    print(f"hoisted rotation batch (sigma_3, sigma_5): {'OK' if ok else 'FAIL'}")
+
+    # batched homomorphic rounding: Z_8 -> Z_2 over a batch of scalars
     p8 = 8
     qs8 = tuple(nt.ntt_primes(32, 30, she.pt_round_mults(p8) + 2))
     params8 = she.SHEParams(m=16, p=p8, qs=qs8, var=2.0)
