@@ -134,12 +134,24 @@ def main():
     )
     print(f"hoisted rotation batch (sigma_3, sigma_5): {'OK' if ok else 'FAIL'}")
 
-    # batched homomorphic rounding: Z_8 -> Z_2 over a batch of scalars
+    # batched homomorphic rounding: Z_8 -> Z_2 over a batch of scalars.
+    # The hint bundle is generated ONCE, checkpointed to disk (proto),
+    # and the serving process reloads it — the deployment shape.
+    import tempfile
+    from lol_tpu import io as lio
+
     p8 = 8
     qs8 = tuple(nt.ntt_primes(32, 30, she.pt_round_mults(p8) + 2))
     params8 = she.SHEParams(m=16, p=p8, qs=qs8, var=2.0)
     sk8 = she.gen_sk(params8, jax.random.PRNGKey(15))
-    rh = she.pt_round_hints(sk8, gd.RnsGad(), jax.random.PRNGKey(16))
+    rh_gen = she.pt_round_hints(sk8, gd.RnsGad(), jax.random.PRNGKey(16))
+    with tempfile.NamedTemporaryFile(suffix=".ptroundhints") as fh:
+        fh.write(lio.pt_round_hints_to_proto(rh_gen).SerializeToString())
+        fh.flush()
+        wire = open(fh.name, "rb").read()
+    rh = lio.pt_round_hints_from_proto(lio.pb.PTRoundHints.FromString(wire))
+    print(f"rounding-hint bundle: {len(rh.hints)} hints, "
+          f"{len(wire)} bytes on disk, reloaded for serving")
     vals = [1, 3, 6]
     cts = []
     for b, v in enumerate(vals):

@@ -219,3 +219,42 @@ def tunnel_hint_from_proto(msg: pb.TunnelHint):
         _gad_from_str(msg.gad),
         tuple(ks_hint_from_proto(h) for h in msg.hints),
     )
+
+
+# --- hint BUNDLES (the aggregates a serving deployment checkpoints) --------
+# Reference: Lol's EvalHints is itself Protoable (SURVEY §3.6 / §6
+# checkpoint row) — the tunnel chain + rounding hints are generated once
+# per key and reloaded by every serving process.
+
+
+def pt_round_hints_to_proto(rh) -> pb.PTRoundHints:
+    return pb.PTRoundHints(hints=[ks_hint_to_proto(h) for h in rh.hints])
+
+
+def pt_round_hints_from_proto(msg: pb.PTRoundHints):
+    from . import she
+
+    return she.PTRoundHints(
+        tuple(ks_hint_from_proto(h) for h in msg.hints)
+    )
+
+
+def eval_hints_to_proto(eh) -> pb.EvalHints:
+    msg = pb.EvalHints(
+        tunnels=[tunnel_hint_to_proto(t) for t in eh.tunnels],
+        p_final=eh.p_final,
+    )
+    if eh.rounds is not None:
+        msg.rounds.CopyFrom(pt_round_hints_to_proto(eh.rounds))
+    return msg
+
+
+def eval_hints_from_proto(msg: pb.EvalHints):
+    from . import prf
+
+    return prf.EvalHints(
+        tunnels=tuple(tunnel_hint_from_proto(t) for t in msg.tunnels),
+        p_final=int(msg.p_final),
+        rounds=(pt_round_hints_from_proto(msg.rounds)
+                if msg.HasField("rounds") else None),
+    )

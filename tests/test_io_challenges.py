@@ -257,3 +257,70 @@ def test_challenges_suppress_verify_with_nist_beacon(tmp_path):
     keep2 = b2.bits(42, 0, 2) % 3
     if keep1 != keep2:
         assert verify(tmp_path / "out", beacon=b2) is False
+
+
+def test_pt_round_hints_bundle_roundtrip():
+    """PTRoundHints (the rounding-hint aggregate a serving deployment
+    checkpoints) round-trips through proto, and she.pt_round with the
+    RELOADED bundle is bit-identical to the original."""
+    from lol_tpu import gadget as gd
+
+    p = 8
+    qs = tuple(nt.ntt_primes(32, 30, she.pt_round_mults(p) + 2))
+    params = she.SHEParams(m=16, p=p, qs=qs, var=2.0)
+    sk = she.gen_sk(params, jax.random.PRNGKey(30))
+    rh = she.pt_round_hints(sk, gd.RnsGad(), jax.random.PRNGKey(31))
+    wire = lio.pt_round_hints_to_proto(rh).SerializeToString()
+    back = lio.pt_round_hints_from_proto(lio.pb.PTRoundHints.FromString(wire))
+    assert len(back.hints) == len(rh.hints)
+    m = np.zeros(params.ctx.n, dtype=np.int64)
+    m[0] = 5
+    ct = she.encrypt(sk, m, jax.random.PRNGKey(32))
+    ref = she.pt_round(ct, rh)
+    got = she.pt_round(ct, back)
+    assert got.f == ref.f and got.params.p == ref.params.p
+    for a, b in zip(got.cs, ref.cs):
+        np.testing.assert_array_equal(
+            np.asarray(a.to_crt().data), np.asarray(b.to_crt().data)
+        )
+
+
+@pytest.mark.parametrize("homomorphic_round", [False, True])
+def test_eval_hints_bundle_roundtrip(rng, homomorphic_round):
+    """EvalHints (tunnel chain + optional rounding bundle) round-trips
+    through proto with the rounds-presence bit preserved, and
+    prf.homom_prf_component with the RELOADED bundle is bit-identical."""
+    from lol_tpu import gadget as gd
+    from lol_tpu import prf
+
+    p = 8
+    qs = tuple(nt.ntt_primes(64, 30, 6))
+    fam = prf.PRFFamily.random(ring_context(32, (p,)), gd.BaseBGad(2),
+                               prf.balanced(3), jax.random.PRNGKey(40))
+    pr_params = she.SHEParams(m=32, p=p, qs=qs, var=2.0)
+    ps_params = she.SHEParams(m=2, p=p, qs=qs, var=2.0)
+    k1, k2, kh, ke = jax.random.split(jax.random.PRNGKey(41), 4)
+    sk_r = she.gen_sk(pr_params, k1)
+    sk_s = she.gen_sk(ps_params, k2)
+    hints, sk_out = prf.make_eval_hints(
+        fam, [sk_r, sk_s], [32, 2], [2], gd.RnsGad(), kh, p_final=2,
+        homomorphic_round=homomorphic_round, maps="project",
+    )
+    wire = lio.eval_hints_to_proto(hints).SerializeToString()
+    back = lio.eval_hints_from_proto(lio.pb.EvalHints.FromString(wire))
+    assert back.p_final == hints.p_final
+    assert (back.rounds is None) == (hints.rounds is None)
+    assert len(back.tunnels) == len(hints.tunnels)
+    m_s = rng.integers(0, p, pr_params.ctx.n).astype(np.int64)
+    ct = she.encrypt(sk_r, m_s, ke)
+    bits = (1, 0, 1)
+    ref = prf.homom_prf_component(fam, hints, ct, bits, 0)
+    got = prf.homom_prf_component(fam, back, ct, bits, 0)
+    assert got.f == ref.f and got.params.p == ref.params.p
+    for a, b in zip(got.cs, ref.cs):
+        np.testing.assert_array_equal(
+            np.asarray(a.to_crt().data), np.asarray(b.to_crt().data)
+        )
+    np.testing.assert_array_equal(
+        she.decrypt(sk_out, got), she.decrypt(sk_out, ref)
+    )
