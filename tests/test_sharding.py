@@ -226,3 +226,52 @@ def test_remote_ntt_pallas_inverse_roundtrip(rng):
     # inverse alone vs oracle
     got = rn.intt_ring_sharded_pallas(mesh, xj, plan, interpret=True)
     np.testing.assert_array_equal(got, ntt.np_ntt_inverse(x, plan))
+
+
+def test_sharded_galois_many_and_ks_linear_ext(rng):
+    """The round-4 serving builders under the (rns x data) mesh: hoisted
+    rotation batch (build_galois_many) and extended-modulus linear
+    re-encryption (build_key_switch_linear_ext), each bit-exact vs its
+    unsharded run (VERDICT r4 missing #3 — every serving builder gets a
+    sharded correctness leg)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from lol_tpu import gadget as gd, she
+    from lol_tpu.she_batched import BatchedBGV
+
+    m, nrns, B = 256, 2, 8
+    all_qs = tuple(nt.ntt_primes(m, 30, nrns + 2))
+    qs = all_qs[:nrns]
+    params = she.SHEParams(m=m, p=257, qs=qs, var=2.0)
+    sk = she.gen_sk(params, jax.random.PRNGKey(90))
+    bb = BatchedBGV(params, use_pallas=False)
+    n = params.ctx.n
+    msgs = rng.integers(0, params.p, (n, B)).astype(np.int32)
+    c0, c1 = bb.build_encrypt(sk)(jnp.asarray(msgs), jax.random.PRNGKey(91))
+
+    mesh = sh.make_mesh({"rns": 2, "data": 4})
+    spec = NamedSharding(mesh, P("rns", None, "data"))
+    c0s, c1s = (jax.device_put(x, spec) for x in (c0, c1))
+
+    # hoisted rotations: one shared decompose, three sigma_k outputs
+    ks = (3, 5, 7)
+    ghints = {k: bb.gen_galois_hint(k, sk, jax.random.fold_in(
+        jax.random.PRNGKey(92), k)) for k in ks}
+    outs_s = bb.build_galois_many(ghints, mesh=mesh)(c0s, c1s)
+    outs = bb.build_galois_many(ghints)(c0, c1)
+    for k in ks:
+        np.testing.assert_array_equal(np.asarray(outs_s[k][0]),
+                                      np.asarray(outs[k][0]))
+        np.testing.assert_array_equal(np.asarray(outs_s[k][1]),
+                                      np.asarray(outs[k][1]))
+
+    # extended-modulus linear re-encryption: digits over Q*P + P-drop
+    sk_new = she.gen_sk(params, jax.random.PRNGKey(93))
+    lhx = bb.gen_ks_linear_hint_ext(sk_new, sk, all_qs[nrns:],
+                                    jax.random.PRNGKey(94))
+    l0s, l1s = bb.build_key_switch_linear_ext(lhx, mesh=mesh)(c0s, c1s)
+    l0, l1 = bb.build_key_switch_linear_ext(lhx)(c0, c1)
+    np.testing.assert_array_equal(np.asarray(l0s), np.asarray(l0))
+    np.testing.assert_array_equal(np.asarray(l1s), np.asarray(l1))
+    # and the re-encrypted batch still decrypts under the new key
+    got = np.asarray(bb.build_decrypt(sk_new)(l0, l1))
+    np.testing.assert_array_equal(got, msgs)
