@@ -29,7 +29,7 @@ import numpy as np
 
 from . import she
 from .cyc import Rep
-from .she_batched import BatchedBGV
+from .she_batched import BatchedBGV, _check_encoding
 
 
 def _mk(bb: BatchedBGV, p_cur: int, L: int) -> BatchedBGV:
@@ -41,7 +41,8 @@ def _mk(bb: BatchedBGV, p_cur: int, L: int) -> BatchedBGV:
     )
 
 
-def build_pt_round(bb: BatchedBGV, rh: she.PTRoundHints, f: int = 1):
+def build_pt_round(bb: BatchedBGV, rh: she.PTRoundHints, f: int = 1,
+                   encoding: str = "lsd"):
     """Builder-style she.pt_round over batches: constructs every stage's
     jitted builder ONCE and returns (run, bb_out, f_out), where
     run: (c0, c1) -> (c0', c1') over bb_out's chain — reuse `run`
@@ -51,7 +52,26 @@ def build_pt_round(bb: BatchedBGV, rh: she.PTRoundHints, f: int = 1):
     The schedule is she.pt_round's, statement for statement (hint i is
     consumed at chain prefix L0 - i, exactly as pt_round_hints lays the
     hints out); plaintexts must be scalar (constant polynomials), as in
-    the object path."""
+    the object path.
+
+    encoding: "lsd" (the chain's native convention) or "msd".  The
+    exact-divide schedule is intrinsically LSD (see she.pt_round's
+    derivation / DESIGN §12: div_d's unit multiplication exactly
+    divides the LSD noise scale but destroys MSD raw noise), so MSD
+    inputs ride the exact encoding switches at the boundary — batched
+    toLSD in front, the LSD program, batched toMSD on the output
+    pipeline — mirroring she.pt_round's MSD route bit for bit."""
+    if _check_encoding(encoding) == "msd":
+        run_l, bb_out, f_out = build_pt_round(
+            bb, rh, f=bb.to_lsd_f(f), encoding="lsd"
+        )
+        to_lsd = bb.build_to_lsd()
+        to_msd = bb_out.build_to_msd()
+
+        def run_m(c0, c1):
+            return to_msd(*run_l(*to_lsd(c0, c1)))
+
+        return run_m, bb_out, bb_out.to_msd_f(f_out)
     p = bb.params.p
     pr, k = she._pt_round_base(p)
     if k == 1:
@@ -136,20 +156,23 @@ def build_pt_round(bb: BatchedBGV, rh: she.PTRoundHints, f: int = 1):
 
 
 def batched_pt_round(bb: BatchedBGV, rh: she.PTRoundHints, c0, c1,
-                     f: int = 1):
+                     f: int = 1, encoding: str = "lsd"):
     """One-shot form of build_pt_round: (bb_out, f_out, (c0', c1'))."""
-    run, bb_out, f_out = build_pt_round(bb, rh, f=f)
+    run, bb_out, f_out = build_pt_round(bb, rh, f=f, encoding=encoding)
     return bb_out, f_out, run(c0, c1)
 
 
 def batched_homom_prf_component(fam, hints, bb: BatchedBGV, c0, c1,
-                                bits, i: int, f: int = 1):
+                                bits, i: int, f: int = 1,
+                                encoding: str = "lsd"):
     """prf.homom_prf_component over a batch of key ciphertexts:
     component i of s * A_T(x) via build_mul_public, the tunnel-tower
-    walk via build_tunnel per hop, then the TRUE homomorphic rounding
-    (batched_pt_round) when hints.rounds is present — else the
-    plaintext-modulus reinterpretation (she.mod_switch_pt's LSD form:
-    pure p/f bookkeeping).  Returns (bb_out, f_out, (c0', c1'))."""
+    walk via build_tunnel per hop (both encoding-agnostic), then the
+    TRUE homomorphic rounding (batched_pt_round, encoding-aware) when
+    hints.rounds is present — else the plaintext-modulus
+    reinterpretation (she.mod_switch_pt: pure p/f bookkeeping in LSD;
+    MSD rides the exact encoding switches, since Delta = Q//p is
+    p-dependent).  Returns (bb_out, f_out, (c0', c1'))."""
     at = fam.a_t(bits)
     a_pt = np.array(
         [int(v) % bb.params.p for v in at[i].lift_ints(rep=Rep.DEC)],
@@ -161,12 +184,20 @@ def batched_homom_prf_component(fam, hints, bb: BatchedBGV, c0, c1,
         c0, c1 = cur.build_tunnel(th)(c0, c1)
         cur = cur.target_pipeline(th)
     if hints.rounds is not None:
-        return batched_pt_round(cur, hints.rounds, c0, c1, f=f)
+        return batched_pt_round(cur, hints.rounds, c0, c1, f=f,
+                                encoding=encoding)
     if hints.p_final != cur.params.p:
         base = cur.params
+        msd = _check_encoding(encoding) == "msd"
+        if msd:  # exact switch to LSD, where reinterpretation is free
+            c0, c1 = cur.build_to_lsd()(c0, c1)
+            f = cur.to_lsd_f(f)
         cur = BatchedBGV(
             type(base)(m=base.m, p=hints.p_final, qs=base.qs, var=base.var),
             use_pallas=cur.use_pallas,
         )
         f = f % hints.p_final
+        if msd:
+            c0, c1 = cur.build_to_msd()(c0, c1)
+            f = cur.to_msd_f(f)
     return cur, f, (c0, c1)

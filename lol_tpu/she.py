@@ -822,7 +822,22 @@ def pt_round(ct: CT, rh: PTRoundHints) -> CT:
     Ring multiplication agrees with scalar multiplication only on
     constant plaintexts, hence the scalar restriction — exactly the
     shape the reference's HomomPRF arranges by tunneling the PRF value
-    down to the output coefficient first."""
+    down to the output coefficient first.
+
+    Encodings: the digit-stripping schedule is intrinsically LSD — its
+    building block div_d multiplies components by the unit d^{-1} mod Q,
+    which under the LSD invariant f*m + p*e EXACTLY divides both the
+    plaintext and the noise scale (p -> p/d), but under the MSD
+    invariant Delta*m + e maps the raw noise e to d^{-1}*e mod Q,
+    i.e. to size ~Q (the MSD analog of dividing the plaintext is a
+    ROUNDING modulus-style rescale, which is inexact and would break
+    the bit-exact stripping identity).  An MSD ciphertext is therefore
+    routed through the exact encoding switches: toLSD (components * p,
+    error scaled exactly by p), the LSD chain, toMSD back (components *
+    p^{-1} mod Q) — both switches are exact unit multiplications, so
+    the composite stays bit-deterministic (DESIGN §12)."""
+    if ct.encoding == "msd":
+        return to_msd(pt_round(to_lsd(ct), rh))
     p = ct.params.p
     pr, k = _pt_round_base(p)
     if k == 1:
