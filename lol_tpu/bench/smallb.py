@@ -36,10 +36,29 @@ def main() -> None:
     plans = [ntt.ntt_plan(n, q) for q in qs]
     on_tpu = jax.devices()[0].platform == "tpu"
 
+    # SMALLB_INVERSE=1: sweep the GS INVERSE instead (VERDICT r4 next
+    # #3: the inverse runs at ~55% of the forward rate and sits inside
+    # every step/tunnel/rescale — is a knob combo leaving rate on the
+    # table?).  Shipping inverse config is radix 8 at window 512 (r16
+    # blows scoped VMEM at tS=512; a smaller window shrinks every live
+    # stage temporary, so r16 may fit there).
+    inverse = os.environ.get("SMALLB_INVERSE", "0") == "1"
     if os.environ.get("SMALLB_COMBOS"):
         combos = [
             tuple(None if t == "None" else int(t) for t in c.split(","))
             for c in os.environ["SMALLB_COMBOS"].split(";")
+        ]
+    elif inverse:
+        combos = [
+            # (lanes, window, radix) — None = tuned default (8 inv)
+            (512, 512, None),   # the shipping inverse config (baseline)
+            (512, 512, 16),
+            (512, 256, 16),
+            (512, 256, 8),
+            (512, 128, 16),
+            (256, 512, 16),
+            (512, 512, 4),
+            (512, 1024, 8),
         ]
     else:
         combos = [
@@ -63,7 +82,8 @@ def main() -> None:
         jax.random.randint(k, (n, B), 0, q, dtype=jnp.uint32)
         for k, q in zip(keys, qs)
     ]
-    want = ntt.np_ntt_forward(np.asarray(xs0[0][:, :1]).T, plans[0])
+    np_step = ntt.np_ntt_inverse if inverse else ntt.np_ntt_forward
+    want = np_step(np.asarray(xs0[0][:, :1]).T, plans[0])
 
     iters = 40 if on_tpu else 2
     results = {}
@@ -77,7 +97,8 @@ def main() -> None:
         try:
             def step(arrs, lanes=lanes, window=window, radix=radix):
                 return [
-                    pk.ntt_cm(a, p, lanes=lanes, window=window, radix=radix,
+                    pk.ntt_cm(a, p, inverse=inverse, lanes=lanes,
+                              window=window, radix=radix,
                               interpret=not on_tpu)
                     for a, p in zip(arrs, plans)
                 ]
