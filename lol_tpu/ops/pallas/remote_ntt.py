@@ -284,7 +284,7 @@ def _fused_phaseBinv_a2a_kernel(x_ref, tab_ref, tabs_ref, land_ref, sbuf_ref,
                                 vbuf, obuf, send_sems, recv_sems, local_sems,
                                 own_sems, in_sems, stage_sems, *, D: int,
                                 C: int, NF: int, W: int, q: int, tS: int,
-                                axis: str):
+                                axis: str, depth: int):
     """Inverse mirror of the fused overlap (send-side): the local
     size-tS GS phase-B' network runs slab-by-slab, and each slab's D
     chunks are DMA'd to their addressees AS SOON AS that slab is
@@ -292,13 +292,18 @@ def _fused_phaseBinv_a2a_kernel(x_ref, tab_ref, tabs_ref, land_ref, sbuf_ref,
     traffic.  Chunks are staged per-slab in HBM (sbuf, an extra output)
     so no send source is ever reused and no ack protocol is needed.
 
-    Bound note (ADVICE r3): unlike the forward kernel (capped landing
-    zone + reverse acks), this direction's landing zone is the final
-    a2a output — full (D, C, F), not reusable — so outstanding sends
-    grow up to NF*(D-1) by the drain and the unrolled program is
-    O(NF*D) instructions.  Keep NF*D modest (benched shapes: NF <= 8,
-    D <= 8); gating sends on a receiver-side credit would cap the DMA
-    depth here too if larger shapes ever need it.
+    Bound (ADVICE r3 / VERDICT r4 next #9): the landing zone here is
+    the final a2a output — full (D, C, F), not recycled — so memory is
+    fixed, but an unbounded drain would let outstanding sends grow to
+    NF*(D-1).  Sends are therefore SLIDING-WINDOW drained: after slab
+    t's copies issue, slab t-depth+1's copies (own + all peers, send
+    AND recv semaphores) are waited, so at most `depth` slabs =
+    depth*(D-1) data DMAs (+ depth own-copies) are in flight at any
+    point, independent of batch.  Deadlock-free: every device issues
+    slab k's sends at its iteration k before any device waits slab k,
+    and waits target only slabs <= t-depth+1 < t.  (The unrolled
+    program is still O(NF*D) instructions; benched shapes NF <= 8,
+    D <= 8.)
 
     x_ref:  (tS, F) my local rows (GS/brv order, phase-B' input)
     sbuf:   (D, C, F) per-slab HBM staging of phase-B' output (chunked)
@@ -316,6 +321,34 @@ def _fused_phaseBinv_a2a_kernel(x_ref, tab_ref, tabs_ref, land_ref, sbuf_ref,
     def read_wb(lo, m):
         return tab[lo : lo + m], tabs[lo : lo + m]
 
+    def own_copy(t):
+        sl = pl.ds(t * W, W)
+        return pltpu.make_async_copy(
+            sbuf_ref.at[pl.ds(d, 1), :, sl],
+            land_ref.at[pl.ds(d, 1), :, sl],
+            own_sems.at[t],
+        )
+
+    def remote_copies(t):
+        sl = pl.ds(t * W, W)
+        out = []
+        for k in range(1, D):
+            r = jax.lax.rem(d + k, D)
+            out.append(pltpu.make_async_remote_copy(
+                src_ref=sbuf_ref.at[pl.ds(r, 1), :, sl],
+                dst_ref=land_ref.at[pl.ds(d, 1), :, sl],
+                send_sem=send_sems.at[t, k - 1],
+                recv_sem=recv_sems.at[t, k - 1],
+                device_id=r,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            ))
+        return out
+
+    def drain(t):
+        own_copy(t).wait()
+        for cp in remote_copies(t):
+            cp.wait()
+
     for t in range(NF):
         sl = pl.ds(t * W, W)
         # HBM -> VMEM, compute phase B' on this slab, stage to HBM
@@ -330,53 +363,31 @@ def _fused_phaseBinv_a2a_kernel(x_ref, tab_ref, tabs_ref, land_ref, sbuf_ref,
         cp_st.start()
         cp_st.wait()
         # immediately ship this slab's chunks (chunk r -> device r)
-        own = pltpu.make_async_copy(
-            sbuf_ref.at[pl.ds(d, 1), :, sl],
-            land_ref.at[pl.ds(d, 1), :, sl],
-            own_sems.at[t],
-        )
-        own.start()
-        for k in range(1, D):
-            r = jax.lax.rem(d + k, D)
-            pltpu.make_async_remote_copy(
-                src_ref=sbuf_ref.at[pl.ds(r, 1), :, sl],
-                dst_ref=land_ref.at[pl.ds(d, 1), :, sl],
-                send_sem=send_sems.at[t, k - 1],
-                recv_sem=recv_sems.at[t, k - 1],
-                device_id=r,
-                device_id_type=pltpu.DeviceIdType.LOGICAL,
-            ).start()
-    # drain: all own copies + all remote sends/recvs
-    for t in range(NF):
-        sl = pl.ds(t * W, W)
-        pltpu.make_async_copy(
-            sbuf_ref.at[pl.ds(d, 1), :, sl],
-            land_ref.at[pl.ds(d, 1), :, sl],
-            own_sems.at[t],
-        ).wait()
-        for k in range(1, D):
-            r = jax.lax.rem(d + k, D)
-            pltpu.make_async_remote_copy(
-                src_ref=sbuf_ref.at[pl.ds(r, 1), :, sl],
-                dst_ref=land_ref.at[pl.ds(d, 1), :, sl],
-                send_sem=send_sems.at[t, k - 1],
-                recv_sem=recv_sems.at[t, k - 1],
-                device_id=r,
-                device_id_type=pltpu.DeviceIdType.LOGICAL,
-            ).wait()
+        own_copy(t).start()
+        for cp in remote_copies(t):
+            cp.start()
+        if t - depth + 1 >= 0:  # sliding-window drain (bound note above)
+            drain(t - depth + 1)
+    # drain the last depth-1 slabs' copies
+    for t in range(max(NF - depth + 1, 0), NF):
+        drain(t)
     del local_sems  # reserved (kept for parity with the forward kernel)
 
 
 def _fused_phaseBinv_a2a(x, tab, tabs, D: int, C: int, W: int, q: int,
-                         axis: str, interpret: bool):
+                         axis: str, interpret: bool, depth: int = 2):
     """(tS, F) local rows -> (D, C, F) landing zone with the send-side
-    overlapped fused kernel.  F must be a multiple of W (>= 128)."""
+    overlapped fused kernel.  F must be a multiple of W (>= 128).
+    depth: sliding send window in slabs (bounds in-flight DMAs to
+    depth*(D-1) data copies; 2 = double-buffered, mirroring the forward
+    kernel's kslot)."""
     F = x.shape[-1]
     tS = D * C
     NF = F // W
+    depth = max(1, min(depth, NF))
     land, _stage = pl.pallas_call(
         partial(_fused_phaseBinv_a2a_kernel, D=D, C=C, NF=NF, W=W, q=q,
-                tS=tS, axis=axis),
+                tS=tS, axis=axis, depth=depth),
         out_shape=(
             jax.ShapeDtypeStruct((D, C, F), x.dtype),  # landing zone
             jax.ShapeDtypeStruct((D, C, F), x.dtype),  # per-slab staging
@@ -555,6 +566,9 @@ def intt_ring_sharded_pallas(mesh, x, plan: NTTPlan, axis: str = "ring",
 
     overlap=True: send-side overlap — each batch slab's chunks are
     DMA'd to their addressees as soon as that slab's phase-B'
-    butterflies finish (same bounds/fallback as the forward overlap)."""
+    butterflies finish, with a 2-slab sliding send window bounding
+    in-flight DMAs to 2*(D-1) data copies regardless of batch (the
+    forward direction's kslot discipline, send-side; same shape
+    bounds/fallback as the forward overlap)."""
     return _ring_sharded(mesh, x, plan, axis, interpret, inverse=True,
                          overlap=overlap)

@@ -130,7 +130,10 @@ def test_remote_ntt_overlap_matches_unfused(rng):
     # 3 slabs > kslot=2: the capped landing zone actually RECYCLES a
     # slot through the reverse-ack protocol (VERDICT r3 #10) — the
     # prologue fills both slots, slab 2 reuses slot 0 after the ack
-    # round, and the drain waits the final acks
+    # round, and the drain waits the final acks.  The inverse (back3)
+    # likewise exceeds its 2-slab sliding send window, so slab 0's
+    # copies drain MID-LOOP before slab 2 issues (VERDICT r4 next #9:
+    # bounded send depth)
     x3 = rng.integers(0, q, (3, 128, N), dtype=np.uint64).astype(np.uint32)
     xj3 = jax.device_put(
         jnp.asarray(x3),
