@@ -30,7 +30,7 @@ def main() -> None:
     from ..ops.pallas import ntt_kernel as pk
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    n = 4096
+    n = int(os.environ.get("SMALLB_N", "4096"))
     seed = (os.getpid() * 1_000_003 + int(time.time())) & 0x7FFFFFFF
     qs = nt.ntt_primes(2 * n, 30, 2)
     plans = [ntt.ntt_plan(n, q) for q in qs]

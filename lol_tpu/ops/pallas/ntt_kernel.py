@@ -487,17 +487,22 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
 def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
            interpret: bool = False, radix: int | None = None,
            lazy: bool = True, pre_digit_q: int | None = None,
-           full_tables: bool = False, window: int = WINDOW):
+           full_tables: bool = False, window: int | None = None):
     """Negacyclic NTT over axis 0 of a column-major (n, B) u32 array.
 
     B must be a multiple of `lanes`.  Defaults tuned on v5e at n=4096,
     B=8192: widest lane tile in {512, 256, 128} dividing B (fewer grid
     steps, ~1.5x over 128); fused-stage radix 16 forward / 8 inverse
     (same multiply count as radix-2, 1/r the reshape/stack relayout
-    passes: fwd r16 2.37M vs r4 ~2.0M residue-NTT/s; the GS inverse has
-    one extra live value per butterfly, so r16 at 512 lanes blows the
-    16MB scoped-VMEM stack — r8 is its sweet spot at 1.38M, r16@256
-    lanes much slower)."""
+    passes; the GS inverse carries one extra live value per butterfly,
+    and r16 measured 0.86M vs r8's 1.04M at the r5 sweep — r8 stands).
+    The INVERSE additionally defaults to a 256-row window where that
+    split is feasible (cross-call G = window/P >= 8 needs window^2 >=
+    8n, i.e. n <= 8192): the r5 sweep (SMALLB_INVERSE) measured
+    window=256 at +14%/+16% over 512 for the GS direction at
+    n=4096/8192 (1.19M vs 1.04M; 574k vs 494k 60-bit pairs B=32k/8k),
+    while the forward keeps 512 (smallb r4: window 256 was a LOSS
+    forward).  n = 2^14 admits only the 512 window (G >= 8 bound)."""
     n, B = x.shape
     if n != plan.n:
         raise ValueError(f"ntt_cm: x has n={n}, plan has n={plan.n}")
@@ -507,6 +512,9 @@ def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
         raise ValueError(f"ntt_cm: batch {B} not a multiple of lanes={lanes}")
     if n == 1:
         return x
+    if window is None:
+        window = (256 if inverse and 256 < n and 256 * 256 >= 8 * n
+                  else WINDOW)
     if radix is None:
         radix = 8 if inverse else 16
     rlog = radix.bit_length() - 1
