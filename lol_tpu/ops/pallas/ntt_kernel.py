@@ -369,7 +369,13 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
     k, S, tS = _split(n, window)
     nblk = n // tS
     P = 1 << S
-    G = max(1, window // P)
+    # G rows of each block per cross-call grid cell.  window // P keeps
+    # P*G ~ window (bounded VMEM values), but Mosaic's block constraint
+    # needs the (P, G, lanes) block's middle dim >= 8 — floor G there
+    # (r5: makes the 256-row window feasible at n = 2^14, where
+    # window // P = 4; the floored block is still only P*8*lanes*4B
+    # = 1MB at n=2^14/512 lanes)
+    G = max(min(8, tS), window // P)
     # twiddle tables ship at one native tile — or narrower, matching the
     # data, when the caller runs a sub-tile lane count (ADVICE r2)
     W = lanes if full_tables else min(TILE, lanes)
@@ -496,13 +502,12 @@ def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
     (same multiply count as radix-2, 1/r the reshape/stack relayout
     passes; the GS inverse carries one extra live value per butterfly,
     and r16 measured 0.86M vs r8's 1.04M at the r5 sweep — r8 stands).
-    The INVERSE additionally defaults to a 256-row window where that
-    split is feasible (cross-call G = window/P >= 8 needs window^2 >=
-    8n, i.e. n <= 8192): the r5 sweep (SMALLB_INVERSE) measured
-    window=256 at +14%/+16% over 512 for the GS direction at
-    n=4096/8192 (1.19M vs 1.04M; 574k vs 494k 60-bit pairs B=32k/8k),
-    while the forward keeps 512 (smallb r4: window 256 was a LOSS
-    forward).  n = 2^14 admits only the 512 window (G >= 8 bound)."""
+    The INVERSE additionally defaults to a 256-row window: the r5
+    sweep (SMALLB_INVERSE) measured window=256 at +14-16% over 512 for
+    the GS direction at every tested ring — n=4096 1.19M vs 1.04M
+    (B=32k), n=8192 574k vs 494k, n=2^14 233k vs 200k (B=1024, via the
+    cross-call G floor) — while the forward keeps 512 (smallb r4:
+    window 256 was a LOSS forward)."""
     n, B = x.shape
     if n != plan.n:
         raise ValueError(f"ntt_cm: x has n={n}, plan has n={plan.n}")
@@ -513,8 +518,7 @@ def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
     if n == 1:
         return x
     if window is None:
-        window = (256 if inverse and 256 < n and 256 * 256 >= 8 * n
-                  else WINDOW)
+        window = 256 if inverse and n > 256 else WINDOW
     if radix is None:
         radix = 8 if inverse else 16
     rlog = radix.bit_length() - 1
