@@ -502,12 +502,15 @@ def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
     (same multiply count as radix-2, 1/r the reshape/stack relayout
     passes; the GS inverse carries one extra live value per butterfly,
     and r16 measured 0.86M vs r8's 1.04M at the r5 sweep — r8 stands).
-    The INVERSE additionally defaults to a 256-row window: the r5
-    sweep (SMALLB_INVERSE) measured window=256 at +14-16% over 512 for
-    the GS direction at every tested ring — n=4096 1.19M vs 1.04M
-    (B=32k), n=8192 574k vs 494k, n=2^14 233k vs 200k (B=1024, via the
-    cross-call G floor) — while the forward keeps 512 (smallb r4:
-    window 256 was a LOSS forward)."""
+    Window defaults come from the r5 interleaved sweeps (DESIGN §10):
+    the GS INVERSE prefers the smallest compilable split at every ring
+    (smaller windows shrink each fused stage's live temporaries and
+    multiply grid parallelism; the remote compiler rejects cross calls
+    past P = 128) — 32 rows at n<=2048 (+61% over 512 at n=2048), 64
+    at n<=8192 (+28-46% at 4096, +32% at 8192), n/128 above (+6-23% at
+    n=2^14) — and the FORWARD prefers 64 rows for 2048<=n<=4096
+    (+21%/+12% at B=32k; +7% at B=1024) but 512 at n>=8192 (64 ties at
+    8192, loses at 2^14)."""
     n, B = x.shape
     if n != plan.n:
         raise ValueError(f"ntt_cm: x has n={n}, plan has n={plan.n}")
@@ -518,7 +521,12 @@ def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
     if n == 1:
         return x
     if window is None:
-        window = 256 if inverse and n > 256 else WINDOW
+        if inverse:
+            window = (WINDOW if n <= 256 else
+                      32 if n <= 2048 else
+                      64 if n <= 8192 else n // 128)
+        else:
+            window = 64 if 2048 <= n <= 4096 else WINDOW
     if radix is None:
         radix = 8 if inverse else 16
     rlog = radix.bit_length() - 1
