@@ -42,7 +42,7 @@ def _mk(bb: BatchedBGV, p_cur: int, L: int) -> BatchedBGV:
 
 
 def build_pt_round(bb: BatchedBGV, rh: she.PTRoundHints, f: int = 1,
-                   encoding: str = "lsd"):
+                   encoding: str = "lsd", mesh=None):
     """Builder-style she.pt_round over batches: constructs every stage's
     jitted builder ONCE and returns (run, bb_out, f_out), where
     run: (c0, c1) -> (c0', c1') over bb_out's chain — reuse `run`
@@ -60,10 +60,15 @@ def build_pt_round(bb: BatchedBGV, rh: she.PTRoundHints, f: int = 1,
     divides the LSD noise scale but destroys MSD raw noise), so MSD
     inputs ride the exact encoding switches at the boundary — batched
     toLSD in front, the LSD program, batched toMSD on the output
-    pipeline — mirroring she.pt_round's MSD route bit for bit."""
+    pipeline — mirroring she.pt_round's MSD route bit for bit.
+
+    mesh: optional Mesh (as in BatchedBGV.build_step) — every step and
+    mod-switch stage compiles mesh-aware; batch ('data') sharding is
+    the serving axis for the chain (the modulus chain SHRINKS stage by
+    stage, so an 'rns' axis only divides the early prefixes)."""
     if _check_encoding(encoding) == "msd":
         run_l, bb_out, f_out = build_pt_round(
-            bb, rh, f=bb.to_lsd_f(f), encoding="lsd"
+            bb, rh, f=bb.to_lsd_f(f), encoding="lsd", mesh=mesh
         )
         to_lsd = bb.build_to_lsd()
         to_msd = bb_out.build_to_msd()
@@ -89,14 +94,14 @@ def build_pt_round(bb: BatchedBGV, rh: she.PTRoundHints, f: int = 1,
         prog.append(lambda st: {**st, "y": addp(*st["y"], sa)})
 
     def emit_square(reg, pcur, Lcur, hint):
-        step = _mk(bb, pcur, Lcur).build_step(hint)
+        step = _mk(bb, pcur, Lcur).build_step(hint, mesh=mesh)
         prog.append(
             lambda st: {**st, reg: step(*st[reg], *st[reg])}
         )
 
     def emit_align(reg, pcur, Lfrom, Lto):
         for Lc in range(Lfrom, Lto, -1):
-            ms = _mk(bb, pcur, Lc).build_mod_switch()
+            ms = _mk(bb, pcur, Lc).build_mod_switch(mesh=mesh)
             prog.append(lambda st, ms=ms: {**st, reg: ms(*st[reg])})
 
     for j in range(k, 1, -1):
@@ -113,7 +118,7 @@ def build_pt_round(bb: BatchedBGV, rh: she.PTRoundHints, f: int = 1,
             prog.append(lambda st: {**st, "b": st["y"]})
             for _ in range(j - 1):  # b <- b^3 (square, align, times b)
                 cur = _mk(bb, py, Lt)
-                sq_step = cur.build_step(next(it))
+                sq_step = cur.build_step(next(it), mesh=mesh)
                 prog.append(
                     lambda st, s=sq_step: {**st, "sq": s(*st["b"], *st["b"])}
                 )
@@ -122,7 +127,7 @@ def build_pt_round(bb: BatchedBGV, rh: she.PTRoundHints, f: int = 1,
                 ft = _mk(bb, py, Lt).mod_switch_f(ft)
                 Lt -= 1
                 cur = _mk(bb, py, Lt)
-                mul_step = cur.build_step(next(it))
+                mul_step = cur.build_step(next(it), mesh=mesh)
                 prog.append(
                     lambda st, s=mul_step: {
                         **st, "b": s(*st["sq"], *st["b"])
@@ -156,15 +161,16 @@ def build_pt_round(bb: BatchedBGV, rh: she.PTRoundHints, f: int = 1,
 
 
 def batched_pt_round(bb: BatchedBGV, rh: she.PTRoundHints, c0, c1,
-                     f: int = 1, encoding: str = "lsd"):
+                     f: int = 1, encoding: str = "lsd", mesh=None):
     """One-shot form of build_pt_round: (bb_out, f_out, (c0', c1'))."""
-    run, bb_out, f_out = build_pt_round(bb, rh, f=f, encoding=encoding)
+    run, bb_out, f_out = build_pt_round(bb, rh, f=f, encoding=encoding,
+                                        mesh=mesh)
     return bb_out, f_out, run(c0, c1)
 
 
 def batched_homom_prf_component(fam, hints, bb: BatchedBGV, c0, c1,
                                 bits, i: int, f: int = 1,
-                                encoding: str = "lsd"):
+                                encoding: str = "lsd", mesh=None):
     """prf.homom_prf_component over a batch of key ciphertexts:
     component i of s * A_T(x) via build_mul_public, the tunnel-tower
     walk via build_tunnel per hop (both encoding-agnostic), then the
@@ -181,11 +187,11 @@ def batched_homom_prf_component(fam, hints, bb: BatchedBGV, c0, c1,
     c0, c1 = bb.build_mul_public()(c0, c1, jnp.asarray(a_pt[:, None]))
     cur = bb
     for th in hints.tunnels:
-        c0, c1 = cur.build_tunnel(th)(c0, c1)
+        c0, c1 = cur.build_tunnel(th, mesh=mesh)(c0, c1)
         cur = cur.target_pipeline(th)
     if hints.rounds is not None:
         return batched_pt_round(cur, hints.rounds, c0, c1, f=f,
-                                encoding=encoding)
+                                encoding=encoding, mesh=mesh)
     if hints.p_final != cur.params.p:
         base = cur.params
         msd = _check_encoding(encoding) == "msd"

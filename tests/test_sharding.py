@@ -278,3 +278,44 @@ def test_sharded_galois_many_and_ks_linear_ext(rng):
     # and the re-encrypted batch still decrypts under the new key
     got = np.asarray(bb.build_decrypt(sk_new)(l0, l1))
     np.testing.assert_array_equal(got, msgs)
+
+
+def test_sharded_serving_rounding_chain(rng):
+    """The full serving orchestration under a mesh (r5): every stage of
+    serving.build_pt_round compiles mesh-aware and the data-sharded
+    batch round-trips bit-exactly vs the unsharded chain.  Batch
+    ('data') sharding is the chain's serving axis — the modulus chain
+    shrinks stage by stage, so an 'rns' axis only divides the early
+    prefixes (documented in build_pt_round)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from lol_tpu import gadget as gd, serving, she
+    from lol_tpu.she_batched import BatchedBGV
+
+    p = 8
+    qs = tuple(nt.ntt_primes(64, 30, she.pt_round_mults(p) + 2))
+    params = she.SHEParams(m=32, p=p, qs=qs, var=2.0)
+    sk = she.gen_sk(params, jax.random.PRNGKey(96))
+    rh = she.pt_round_hints(sk, gd.RnsGad(), jax.random.PRNGKey(97))
+    bb = BatchedBGV(params)
+    n, B = params.ctx.n, 8
+    vals = rng.integers(0, p, B)
+    msgs = np.zeros((n, B), dtype=np.int32)
+    msgs[0] = vals
+    c0, c1 = bb.build_encrypt(sk)(jnp.asarray(msgs), jax.random.PRNGKey(98))
+
+    mesh = sh.make_mesh({"rns": 1, "data": 8})
+    spec = NamedSharding(mesh, P("rns", None, "data"))
+    c0s, c1s = (jax.device_put(x, spec) for x in (c0, c1))
+    run_s, bb_out, f_out = serving.build_pt_round(bb, rh, mesh=mesh)
+    y0s, y1s = run_s(c0s, c1s)
+    run, bb_out2, f_out2 = serving.build_pt_round(bb, rh)
+    y0, y1 = run(c0, c1)
+    assert bb_out.params.qs == bb_out2.params.qs and f_out == f_out2
+    np.testing.assert_array_equal(np.asarray(y0s), np.asarray(y0))
+    np.testing.assert_array_equal(np.asarray(y1s), np.asarray(y1))
+    # and the sharded output decrypts to the rounded digits
+    sk_out = she.SK(bb_out.params, sk.s_ints, sk.var)
+    got = np.asarray(bb_out.build_decrypt(sk_out, f=f_out)(y0s, y1s))
+    want = ((2 * vals * 2 + p) // (2 * p)) % 2
+    np.testing.assert_array_equal(got[0], want)
+    assert not got[1:].any()
