@@ -304,7 +304,10 @@ def _kernel_cross(x_ref, w_ref, wsh_ref, o_ref, *, q, P, inverse, n_inv,
     if inverse:
         x = _ntt_net_inv(x, q, P, read_w, rlog,
                          _bf_inv_lazy if lazy else _bf_inv_exact)
-        x = _scale_reduce(x, q, n_inv, n_inv_sh, lazy)
+        if n_inv is not None:
+            x = _scale_reduce(x, q, n_inv, n_inv_sh, lazy)
+        elif lazy:  # timing-only noscale knob: final fold, no multiply
+            x = jnp.where(x >= jnp.uint32(q), x - jnp.uint32(q), x)
     else:
         x = _ntt_net_fwd(x, q, P, read_w, rlog,
                          _bf_fwd_lazy if lazy else _bf_fwd_exact)
@@ -356,7 +359,8 @@ def _kernel_block(x_ref, w_ref, wsh_ref, o_ref, *, q, tS, inverse, n_inv,
 @lru_cache(maxsize=512)
 def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
            rlog: int = 1, lazy: bool = True, pre_q: int | None = None,
-           full_tables: bool = False, window: int = WINDOW):
+           full_tables: bool = False, window: int = WINDOW,
+           scale: bool = True):
     """Jitted (n, B) -> (n, B) column-major negacyclic NTT.
 
     pre_q: fuse the RNS-gadget digit re-expansion from modulus pre_q
@@ -364,7 +368,10 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
     full_tables: ship lanes-wide twiddle operands (the pre-tile-widening
     behavior) — kept as a measurement knob for A/B'ing table traffic.
     window: override the block-rows bound tS (measurement knob for the
-    small-batch split sweep; default WINDOW = 512)."""
+    small-batch split sweep; default WINDOW = 512).
+    scale=False (TIMING-ONLY measurement knob, bench/invgap.py): skip
+    the inverse's 1/n multiply — outputs are WRONG (off by n mod q);
+    isolates the scale pass's share of the inverse's cost."""
     n, q = plan.n, plan.q
     k, S, tS = _split(n, window)
     nblk = n // tS
@@ -410,7 +417,8 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
         B = x3.shape[-1]
         kern = partial(
             _kernel_cross, q=q, P=P, inverse=inverse,
-            n_inv=plan.n_inv, n_inv_sh=plan.n_inv_sh, rlog=rlog, lazy=lazy,
+            n_inv=plan.n_inv if scale else None,
+            n_inv_sh=plan.n_inv_sh if scale else None, rlog=rlog, lazy=lazy,
             pre_q=pre_q,
         )
         return pl.pallas_call(
@@ -438,8 +446,9 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
         B = x3.shape[-1]
         kern = partial(
             _kernel_block, q=q, tS=tS, inverse=inverse,
-            n_inv=plan.n_inv if scale_in_block else None,
-            n_inv_sh=plan.n_inv_sh if scale_in_block else None, rlog=rlog,
+            n_inv=plan.n_inv if (scale_in_block and scale) else None,
+            n_inv_sh=plan.n_inv_sh if (scale_in_block and scale) else None,
+            rlog=rlog,
             lazy=lazy, pre_q=pre_q if scale_in_block else None,
         )
         return pl.pallas_call(
@@ -493,7 +502,8 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
 def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
            interpret: bool = False, radix: int | None = None,
            lazy: bool = True, pre_digit_q: int | None = None,
-           full_tables: bool = False, window: int | None = None):
+           full_tables: bool = False, window: int | None = None,
+           scale: bool = True):
     """Negacyclic NTT over axis 0 of a column-major (n, B) u32 array.
 
     B must be a multiple of `lanes`.  Defaults tuned on v5e at n=4096,
@@ -534,9 +544,11 @@ def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
         raise ValueError(f"ntt_cm: radix {radix} must be a power of 2 >= 2")
     if pre_digit_q is not None and inverse:
         raise ValueError("ntt_cm: pre_digit_q is a forward-only prologue")
+    if not scale and not inverse:
+        raise ValueError("ntt_cm: scale=False is an inverse-only knob")
     return _build(plan, inverse, lanes, interpret, rlog, lazy,
                   pre_q=pre_digit_q, full_tables=full_tables,
-                  window=window)(x)
+                  window=window, scale=scale)(x)
 
 
 def ntt_batched(x, plan: NTTPlan, inverse: bool = False, interpret: bool = False):
