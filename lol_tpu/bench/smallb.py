@@ -44,8 +44,12 @@ def main() -> None:
     # stage temporary, so r16 may fit there).
     inverse = os.environ.get("SMALLB_INVERSE", "0") == "1"
     if os.environ.get("SMALLB_COMBOS"):
+        # "lanes,window,radix[,alg]" — alg ("gs"/"dit") only for inverse
+        def _tok(t):
+            return None if t == "None" else (int(t) if t.isdigit() else t)
+
         combos = [
-            tuple(None if t == "None" else int(t) for t in c.split(","))
+            tuple(_tok(t) for t in c.split(","))
             for c in os.environ["SMALLB_COMBOS"].split(";")
         ]
     elif inverse:
@@ -89,16 +93,20 @@ def main() -> None:
     results = {}
     live = []  # (tag, step, state) for the interleaved phase
 
-    for lanes, window, radix in combos:
+    for combo in combos:
+        lanes, window, radix = combo[:3]
+        alg = combo[3] if len(combo) > 3 else None
         if B % lanes:
             continue
         tag = f"lanes={lanes},window={window},radix={radix or 'dflt'}"
+        if alg:
+            tag += f",alg={alg}"
         t0 = time.time()
         try:
-            def step(arrs, lanes=lanes, window=window, radix=radix):
+            def step(arrs, lanes=lanes, window=window, radix=radix, alg=alg):
                 return [
                     pk.ntt_cm(a, p, inverse=inverse, lanes=lanes,
-                              window=window, radix=radix,
+                              window=window, radix=radix, alg=alg,
                               interpret=not on_tpu)
                     for a, p in zip(arrs, plans)
                 ]

@@ -240,10 +240,223 @@ def _ntt_net_inv(x, q, nloc, read_w, rlog=1, bf=_bf_inv_exact):
     return x
 
 
+# --- DIT-bitrev-input inverse network (r5, "route B") ----------------------
+#
+# The GS inverse measures ~30% slower than the forward at equal op count
+# (bench/invgap.py: the 1/n scale is ~4%; the GS stages themselves are
+# the gap, and the GS fused-radix form degrades past radix 8 where the
+# CT form keeps gaining to radix 32).  Route B restructures the inverse
+# around CT butterflies: stored spectrum X_i = z_{rev(i)} and
+# x_j = n^-1 psi^-j * DFT_{omega^-1}(z)_j  (omega = psi^2, V symmetric),
+# evaluated four-step over n = P*tS (storage row i = b*tS + r, natural
+# k = rev_tS(r)*P + rev_P(b)):
+#   block:  per block, DIT-bitrev-input DFT_tS at root omega^-P along r
+#   twist:  row rho of block b  *= omega^-(rho * rev_P(b))
+#   cross:  per rho, DIT-bitrev-input DFT_P at root omega^-tS along b
+#   scale:  output row j = c*tS + rho  *= n^-1 psi^-j
+# Same total multiply count as GS+scale (both inner first stages have
+# all-1 twiddles, paying for twist+scale), CT-shaped stages throughout.
+# Verified bit-exact vs np_ntt_inverse (same linear map, exact mod-q).
+
+
+def _wb_t(w, h, u_shape):
+    """Broadcast (h, lanes) twiddles over u's (nb, h, ..., lanes) —
+    trailing-index variation (sublane-direction broadcasts only; lanes
+    arrive materialized)."""
+    target = (1, h) + tuple(1 for _ in u_shape[2:-1]) + (w.shape[-1],)
+    return jnp.broadcast_to(w.reshape(target), u_shape)
+
+
+def _bf_ct_exact_t(u, v, ws, q):
+    """CT butterfly, trailing-axis twiddles, fully-reduced form."""
+    h = ws[0].shape[0]
+    w, wsh = (_wb_t(a, h, u.shape) for a in ws)
+    t = zq.mul_mod_shoup(v, w, wsh, q)
+    return zq.add_mod(u, t, q), zq.sub_mod(u, t, q)
+
+
+def _bf_ct_lazy_t(u, v, ws, q):
+    """CT butterfly, trailing-axis twiddles, Harvey lazy form: inputs and
+    outputs in [0, 4q) (same invariant as _bf_fwd_lazy)."""
+    wsl, wshsl = ws
+    h = wsl.shape[0]
+    w = _wb_t(wsl, h, u.shape)
+    s1 = _wb_t(wshsl >> 16, h, u.shape)
+    s0 = _wb_t(wshsl & 0xFFFF, h, u.shape)
+    q2 = jnp.uint32(2 * q)
+    t = zq.mul_shoup_lazy(v, w, s1, s0, q)
+    uu = jnp.where(u >= q2, u - q2, u)
+    return uu + t, uu + (q2 - t)
+
+
+def _invb_stage2(x, q, nloc, s, read_w, bf):
+    """One DIT-bitrev-input stage: half-size h = 2^s, contiguous groups
+    of 2h, twiddle varies along the within-half index t (table rows
+    [h, 2h) hold root^(t * nloc/(2h)))."""
+    h = 1 << s
+    nb = nloc >> (s + 1)
+    rest = x.shape[1:]
+    ws = read_w(h, h)
+    xs = x.reshape(nb, 2, h, *rest)
+    nu, nv = bf(xs[:, 0], xs[:, 1], ws, q)
+    return jnp.stack([nu, nv], axis=1).reshape(nloc, *rest)
+
+
+def _invb_stage_r(x, q, nloc, s, read_w, r, bf):
+    """r fused DIT-bitrev-input stages covering global stages s..s+r-1:
+    groups of 2^(s+r) rows split as (nb, R=2^r, h=2^s); inner stage j
+    pairs slices across bit j (LSB first), and the pair starting at
+    slice i_u uses packed-table rows [h_j + (i_u mod 2^j)*h, +h) where
+    h_j = h<<j (the within-group offset (i_u mod 2^j)*h + t)."""
+    h = 1 << s
+    R = 1 << r
+    nb = nloc >> (s + r)
+    rest = x.shape[1:]
+    xs = x.reshape(nb, R, h, *rest)
+    parts = [xs[:, i] for i in range(R)]
+    for j in range(r):
+        hj = h << j
+        step = 1 << j
+        for i_u in range(R):
+            if i_u & step:
+                continue
+            i_v = i_u | step
+            g = i_u & (step - 1)
+            ws = read_w(hj + g * h, h)
+            parts[i_u], parts[i_v] = bf(parts[i_u], parts[i_v], ws, q)
+    return jnp.stack(parts, axis=1).reshape(nloc, *rest)
+
+
+def _ntt_net_invb(x, q, nloc, read_w, rlog=1, bf=_bf_ct_lazy_t):
+    """DIT-bitrev-input network along axis 0 (stages low->high)."""
+    kloc = nloc.bit_length() - 1
+    s = 0
+    while s < kloc:
+        r = min(rlog, kloc - s)
+        if r == 1:
+            x = _invb_stage2(x, q, nloc, s, read_w, bf)
+        else:
+            x = _invb_stage_r(x, q, nloc, s, read_w, r, bf)
+        s += r
+    return x
+
+
 # --- kernels ---------------------------------------------------------------
 
 
-def _scale_reduce(x, q, n_inv, n_inv_sh, lazy):
+def _table_mul(x, t, ts, q, lazy, final):
+    """Elementwise multiply by a materialized table (twist/scale legs of
+    the route-B inverse).  Lazy path emits [0, 2q); final=True folds to
+    [0, q) (the pipeline's fully-reduced output contract)."""
+    if not lazy:
+        return zq.mul_mod_shoup(x, t, ts, q)
+    x = zq.mul_shoup_lazy(x, t, ts >> 16, ts & 0xFFFF, q)
+    if final:
+        x = jnp.where(x >= jnp.uint32(q), x - jnp.uint32(q), x)
+    return x
+
+
+def _kernel_block_invb(x_ref, w_ref, wsh_ref, t_ref, tsh_ref, o_ref, *, q,
+                       tS, rlog, lazy, final):
+    """Route-B inverse, block call: per-block DIT-bitrev-input DFT_tS
+    (block (1, tS, lanes), packed stage tables shared by every block),
+    then the per-block twist multiply (or, at S == 0, the final
+    n^-1 psi^-j scale — same operand slot, final=True)."""
+    x = x_ref[0]
+    lanes = x.shape[-1]
+    w_full, wsh_full = (
+        jnp.concatenate([r[...]] * (lanes // r.shape[-1]), axis=-1)
+        if lanes > r.shape[-1] else r[...]
+        for r in (w_ref, wsh_ref)
+    )
+
+    def read_w(lo, m):
+        return w_full[lo : lo + m], wsh_full[lo : lo + m]
+
+    x = _ntt_net_invb(x, q, tS, read_w, rlog,
+                      _bf_ct_lazy_t if lazy else _bf_ct_exact_t)
+    t_full, tsh_full = (
+        jnp.concatenate([r[0]] * (lanes // r.shape[-1]), axis=-1)
+        if lanes > r.shape[-1] else r[0]
+        for r in (t_ref, tsh_ref)
+    )
+    o_ref[0] = _table_mul(x, t_full, tsh_full, q, lazy, final)
+
+
+def _kernel_cross_invb(x_ref, w_ref, wsh_ref, t_ref, tsh_ref, o_ref, *, q,
+                       P, rlog, lazy, do_scale):
+    """Route-B inverse, cross call: DIT-bitrev-input DFT_P along axis 0
+    of the (P, G, lanes) block, then the n^-1 psi^-j output scale and
+    the full reduction (always the pipeline's last call).  do_scale=False
+    is the timing-only noscale knob (fold only)."""
+    x = x_ref[...]
+    lanes = x.shape[-1]
+    w_full, wsh_full = (
+        jnp.concatenate([r[...]] * (lanes // r.shape[-1]), axis=-1)
+        if lanes > r.shape[-1] else r[...]
+        for r in (w_ref, wsh_ref)
+    )
+
+    def read_w(lo, m):
+        return w_full[lo : lo + m], wsh_full[lo : lo + m]
+
+    x = _ntt_net_invb(x, q, P, read_w, rlog,
+                      _bf_ct_lazy_t if lazy else _bf_ct_exact_t)
+    if do_scale:
+        t_full, tsh_full = (
+            jnp.concatenate([r[...]] * (lanes // r.shape[-1]), axis=-1)
+            if lanes > r.shape[-1] else r[...]
+            for r in (t_ref, tsh_ref)
+        )
+        x = _table_mul(x, t_full, tsh_full, q, lazy, final=True)
+    elif lazy:
+        qq = jnp.uint32(q)
+        x = jnp.where(x >= jnp.uint32(2 * q), x - jnp.uint32(2 * q), x)
+        x = jnp.where(x >= qq, x - qq, x)
+    o_ref[...] = x
+
+
+def _pow_seq(base: int, count: int, q: int, start: int = 1) -> np.ndarray:
+    """[start, start*base, start*base^2, ...] mod q as u32."""
+    out = np.empty(count, dtype=np.uint32)
+    v = start % q
+    for i in range(count):
+        out[i] = v
+        v = v * base % q
+    return out
+
+
+def _stage_table_bitrev(root_inv: int, nloc: int, q: int) -> np.ndarray:
+    """Packed DIT-bitrev-input twiddles: rows [h, 2h) hold
+    (root_inv^(nloc/2h))^t for t in [0, h); row 0 unused (=1).  Stage 0
+    (h=1) is the all-ones row — its lazy multiply doubles as a fold."""
+    T = np.ones(nloc, dtype=np.uint32)
+    h = 1
+    while h < nloc:
+        T[h : 2 * h] = _pow_seq(pow(root_inv, nloc // (2 * h), q), h, q)
+        h *= 2
+    return T
+
+
+def _invb_tables(plan: NTTPlan, S: int, tS: int):
+    """Route-B table set: (block stage table, cross stage table | None,
+    per-block twist (nblk, tS) | None, output scale (P, tS))."""
+    from ..ntt import _bit_reverse_perm
+
+    n, q = plan.n, plan.q
+    P = n // tS
+    ipsi = pow(int(plan.psi), -1, q)
+    iomega = ipsi * ipsi % q
+    t_blk = _stage_table_bitrev(pow(iomega, P, q), tS, q)
+    t_cross = _stage_table_bitrev(pow(iomega, tS, q), P, q) if P > 1 else None
+    twist = None
+    if P > 1:
+        revP = _bit_reverse_perm(P)
+        twist = np.stack([
+            _pow_seq(pow(iomega, int(k1), q), tS, q) for k1 in revP
+        ])
+    scale = _pow_seq(ipsi, n, q, start=plan.n_inv).reshape(P, tS)
+    return t_blk, t_cross, twist, scale
     """Apply the 1/n scale; lazy path folds [0,2q) -> [0,q) afterwards."""
     if not lazy:
         return zq.mul_mod_shoup(x, jnp.uint32(n_inv), jnp.uint32(n_inv_sh), q)
@@ -360,7 +573,7 @@ def _kernel_block(x_ref, w_ref, wsh_ref, o_ref, *, q, tS, inverse, n_inv,
 def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
            rlog: int = 1, lazy: bool = True, pre_q: int | None = None,
            full_tables: bool = False, window: int = WINDOW,
-           scale: bool = True):
+           scale: bool = True, alg: str = "gs"):
     """Jitted (n, B) -> (n, B) column-major negacyclic NTT.
 
     pre_q: fuse the RNS-gadget digit re-expansion from modulus pre_q
@@ -386,6 +599,107 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
     # twiddle tables ship at one native tile — or narrower, matching the
     # data, when the caller runs a sub-tile lane count (ADVICE r2)
     W = lanes if full_tables else min(TILE, lanes)
+
+    if inverse and alg == "dit":
+        # Route-B inverse (see _ntt_net_invb): CT-shaped stages + twist
+        # + per-row output scale; same compact-table discipline as GS.
+        t_blk, t_cross, twist, sc = _invb_tables(plan, S, tS)
+        t_blk_sh = zq.shoup_np(t_blk, q)
+        if S == 0:
+            # single call: the post-table slot carries the final scale
+            post_np = sc if scale else np.ones((1, tS), np.uint32)
+        else:
+            post_np = twist
+        post_sh_np = zq.shoup_np(post_np, q)
+        if t_cross is not None:
+            t_cross_sh = zq.shoup_np(t_cross, q)
+            sc_sh = zq.shoup_np(sc, q)
+
+        def block_call_b(x3, wS, wSs, tw, tws):  # (nblk, tS, B)
+            B = x3.shape[-1]
+            kern = partial(_kernel_block_invb, q=q, tS=tS, rlog=rlog,
+                           lazy=lazy, final=S == 0)
+            return pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((nblk, tS, B), jnp.uint32),
+                grid=(nblk, B // lanes),
+                in_specs=[
+                    pl.BlockSpec((1, tS, lanes), lambda b, j: (b, 0, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tS, W), lambda b, j: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tS, W), lambda b, j: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, tS, W), lambda b, j: (b, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, tS, W), lambda b, j: (b, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, tS, lanes), lambda b, j: (b, 0, j),
+                                       memory_space=pltpu.VMEM),
+                interpret=interpret,
+                cost_estimate=pl.CostEstimate(
+                    flops=30 * n * (k - S) * lanes, bytes_accessed=8 * n * B,
+                    transcendentals=0,
+                ),
+            )(x3, wS, wSs, tw, tws)
+
+        def cross_call_b(x3, wS, wSs, scj, scjs):  # (P, tS, B)
+            B = x3.shape[-1]
+            kern = partial(_kernel_cross_invb, q=q, P=P, rlog=rlog,
+                           lazy=lazy, do_scale=scale)
+            return pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((P, tS, B), jnp.uint32),
+                grid=(tS // G, B // lanes),
+                in_specs=[
+                    pl.BlockSpec((P, G, lanes), lambda i, j: (0, i, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((P, W), lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((P, W), lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((P, G, W), lambda i, j: (0, i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((P, G, W), lambda i, j: (0, i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((P, G, lanes), lambda i, j: (0, i, j),
+                                       memory_space=pltpu.VMEM),
+                interpret=interpret,
+                cost_estimate=pl.CostEstimate(
+                    flops=30 * n * S * lanes, bytes_accessed=8 * n * B,
+                    transcendentals=0,
+                ),
+            )(x3, wS, wSs, scj, scjs)
+
+        @jax.jit
+        def run_b(x):  # (n, B)
+            B = x.shape[1]
+            wB = jnp.broadcast_to(jnp.asarray(t_blk)[:, None], (tS, W))
+            wBs = jnp.broadcast_to(jnp.asarray(t_blk_sh)[:, None], (tS, W))
+            tw = jnp.broadcast_to(
+                jnp.asarray(post_np)[:, :, None], (nblk, tS, W)
+            )
+            tws = jnp.broadcast_to(
+                jnp.asarray(post_sh_np)[:, :, None], (nblk, tS, W)
+            )
+            x = block_call_b(x.reshape(nblk, tS, B), wB, wBs, tw, tws)
+            if S > 0:
+                wC = jnp.broadcast_to(jnp.asarray(t_cross)[:, None], (P, W))
+                wCs = jnp.broadcast_to(
+                    jnp.asarray(t_cross_sh)[:, None], (P, W)
+                )
+                scj = jnp.broadcast_to(
+                    jnp.asarray(sc)[:, :, None], (P, tS, W)
+                )
+                scjs = jnp.broadcast_to(
+                    jnp.asarray(sc_sh)[:, :, None], (P, tS, W)
+                )
+                x = cross_call_b(x.reshape(P, tS, B), wC, wCs, scj, scjs)
+            return x.reshape(n, B)
+
+        return run_b
 
     src, src_sh = (
         (plan.ipsi_rev, plan.ipsi_rev_sh) if inverse else (plan.psi_rev, plan.psi_rev_sh)
@@ -503,7 +817,7 @@ def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
            interpret: bool = False, radix: int | None = None,
            lazy: bool = True, pre_digit_q: int | None = None,
            full_tables: bool = False, window: int | None = None,
-           scale: bool = True):
+           scale: bool = True, alg: str | None = None):
     """Negacyclic NTT over axis 0 of a column-major (n, B) u32 array.
 
     B must be a multiple of `lanes`.  Defaults tuned on v5e at n=4096,
@@ -531,14 +845,15 @@ def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
     if n == 1:
         return x
     if window is None:
-        if inverse:
+        if inverse and (alg or "gs") == "gs":
             window = (WINDOW if n <= 256 else
                       32 if n <= 2048 else
                       64 if n <= 8192 else n // 128)
         else:
+            # forward table; the route-B inverse is forward-shaped
             window = 64 if 2048 <= n <= 4096 else WINDOW
     if radix is None:
-        radix = 8 if inverse else 16
+        radix = 8 if inverse and (alg or "gs") == "gs" else 16
     rlog = radix.bit_length() - 1
     if radix != 1 << rlog or rlog < 1:
         raise ValueError(f"ntt_cm: radix {radix} must be a power of 2 >= 2")
@@ -546,9 +861,15 @@ def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
         raise ValueError("ntt_cm: pre_digit_q is a forward-only prologue")
     if not scale and not inverse:
         raise ValueError("ntt_cm: scale=False is an inverse-only knob")
+    if alg is None:
+        alg = "gs"
+    if alg not in ("gs", "dit"):
+        raise ValueError(f"ntt_cm: unknown alg {alg!r}")
+    if alg == "dit" and not inverse:
+        raise ValueError("ntt_cm: alg='dit' is an inverse-only route")
     return _build(plan, inverse, lanes, interpret, rlog, lazy,
                   pre_q=pre_digit_q, full_tables=full_tables,
-                  window=window, scale=scale)(x)
+                  window=window, scale=scale, alg=alg)(x)
 
 
 def ntt_batched(x, plan: NTTPlan, inverse: bool = False, interpret: bool = False):

@@ -150,3 +150,31 @@ def test_pointwise_ct_mul_matches_xla(B, rng):
         np.asarray(zq.add_mod(zq.mul_mod(c0, d1, q), zq.mul_mod(c1, d0, q), q)),
     )
     np.testing.assert_array_equal(np.asarray(e2), np.asarray(zq.mul_mod(c1, d1, q)))
+
+
+@pytest.mark.parametrize("window", [64, 512])
+@pytest.mark.parametrize("radix", [2, 8, 16, 32])
+def test_dit_inverse_matches_numpy(window, radix, rng):
+    """The route-B inverse (DIT-bitrev-input + twist + per-row scale,
+    ntt_cm alg='dit') == numpy oracle == the GS route, bit-exact, over
+    the window/radix grid incl. the single-call S=0 shape, at a modulus
+    near 2^30 (lazy range proof), lazy AND exact forms."""
+    n = 512
+    q = nt.ntt_primes(2 * n, 30, 1)[0]
+    plan = ntt.ntt_plan(n, q)
+    a = rng.integers(0, q, (n, 128), dtype=np.uint64).astype(np.uint32)
+    a[0, :] = q - 1  # extremal residues stress the [0, 4q) bound
+    want = ntt.np_ntt_inverse(a.T, plan).T
+    aj = jnp.asarray(a)
+    for lazy in (True, False):
+        got = pk.ntt_cm(aj, plan, inverse=True, alg="dit", window=window,
+                        radix=radix, lazy=lazy, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_dit_inverse_rejects_forward():
+    n, q = 256, 12289
+    plan = ntt.ntt_plan(n, q)
+    a = jnp.zeros((n, 128), dtype=jnp.uint32)
+    with pytest.raises(ValueError, match="inverse-only"):
+        pk.ntt_cm(a, plan, alg="dit", interpret=True)
