@@ -457,6 +457,9 @@ def _invb_tables(plan: NTTPlan, S: int, tS: int):
         ])
     scale = _pow_seq(ipsi, n, q, start=plan.n_inv).reshape(P, tS)
     return t_blk, t_cross, twist, scale
+
+
+def _scale_reduce(x, q, n_inv, n_inv_sh, lazy):
     """Apply the 1/n scale; lazy path folds [0,2q) -> [0,q) afterwards."""
     if not lazy:
         return zq.mul_mod_shoup(x, jnp.uint32(n_inv), jnp.uint32(n_inv_sh), q)
