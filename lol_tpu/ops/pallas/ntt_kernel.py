@@ -259,55 +259,61 @@ def _ntt_net_inv(x, q, nloc, read_w, rlog=1, bf=_bf_inv_exact):
 # Verified bit-exact vs np_ntt_inverse (same linear map, exact mod-q).
 
 
-def _wb_t(w, h, u_shape):
-    """Broadcast (h, lanes) twiddles over u's (nb, h, ..., lanes) —
-    trailing-index variation (sublane-direction broadcasts only; lanes
-    arrive materialized)."""
-    target = (1, h) + tuple(1 for _ in u_shape[2:-1]) + (w.shape[-1],)
-    return jnp.broadcast_to(w.reshape(target), u_shape)
+def _wb_f(w, u_shape):
+    """Align a (nb, h, lanes) full-table slice with u's
+    (nb, h, *mid, lanes) — middle-axis broadcast only (the leading-axis
+    broadcast of a compact table measured 3x slower AND failed the
+    remote compile at window 512; full tables sliced exactly like the
+    data avoid it)."""
+    mid = len(u_shape) - 3
+    if not mid:
+        return w
+    w = w.reshape(w.shape[0], w.shape[1], *(1 for _ in range(mid)),
+                  w.shape[-1])
+    return jnp.broadcast_to(w, u_shape)
 
 
-def _bf_ct_exact_t(u, v, ws, q):
-    """CT butterfly, trailing-axis twiddles, fully-reduced form."""
-    h = ws[0].shape[0]
-    w, wsh = (_wb_t(a, h, u.shape) for a in ws)
+def _bf_ct_exact_f(u, v, ws, q):
+    """CT butterfly, full-table twiddles, fully-reduced form."""
+    w, wsh = (_wb_f(a, u.shape) for a in ws)
     t = zq.mul_mod_shoup(v, w, wsh, q)
     return zq.add_mod(u, t, q), zq.sub_mod(u, t, q)
 
 
-def _bf_ct_lazy_t(u, v, ws, q):
-    """CT butterfly, trailing-axis twiddles, Harvey lazy form: inputs and
+def _bf_ct_lazy_f(u, v, ws, q):
+    """CT butterfly, full-table twiddles, Harvey lazy form: inputs and
     outputs in [0, 4q) (same invariant as _bf_fwd_lazy)."""
     wsl, wshsl = ws
-    h = wsl.shape[0]
-    w = _wb_t(wsl, h, u.shape)
-    s1 = _wb_t(wshsl >> 16, h, u.shape)
-    s0 = _wb_t(wshsl & 0xFFFF, h, u.shape)
+    w = _wb_f(wsl, u.shape)
+    s1 = _wb_f(wshsl >> 16, u.shape)
+    s0 = _wb_f(wshsl & 0xFFFF, u.shape)
     q2 = jnp.uint32(2 * q)
     t = zq.mul_shoup_lazy(v, w, s1, s0, q)
     uu = jnp.where(u >= q2, u - q2, u)
     return uu + t, uu + (q2 - t)
 
 
-def _invb_stage2(x, q, nloc, s, read_w, bf):
+def _invb_stage2(x, q, nloc, s, read_full, bf):
     """One DIT-bitrev-input stage: half-size h = 2^s, contiguous groups
-    of 2h, twiddle varies along the within-half index t (table rows
-    [h, 2h) hold root^(t * nloc/(2h)))."""
+    of 2h; stage s's FULL (nloc, lanes) table is sliced (nb, 2, h)[:, 1]
+    exactly like the data, so twiddles arrive pre-aligned with v."""
     h = 1 << s
     nb = nloc >> (s + 1)
     rest = x.shape[1:]
-    ws = read_w(h, h)
+    ws = tuple(
+        a.reshape(nb, 2, h, a.shape[-1])[:, 1] for a in read_full(s)
+    )
     xs = x.reshape(nb, 2, h, *rest)
     nu, nv = bf(xs[:, 0], xs[:, 1], ws, q)
     return jnp.stack([nu, nv], axis=1).reshape(nloc, *rest)
 
 
-def _invb_stage_r(x, q, nloc, s, read_w, r, bf):
+def _invb_stage_r(x, q, nloc, s, read_full, r, bf):
     """r fused DIT-bitrev-input stages covering global stages s..s+r-1:
     groups of 2^(s+r) rows split as (nb, R=2^r, h=2^s); inner stage j
-    pairs slices across bit j (LSB first), and the pair starting at
-    slice i_u uses packed-table rows [h_j + (i_u mod 2^j)*h, +h) where
-    h_j = h<<j (the within-group offset (i_u mod 2^j)*h + t)."""
+    pairs slices across bit j (LSB first).  Stage s+j's full table,
+    reshaped (nb, R, h), is sliced at the v-part index — identical
+    stride pattern to the data slices."""
     h = 1 << s
     R = 1 << r
     nb = nloc >> (s + r)
@@ -315,28 +321,29 @@ def _invb_stage_r(x, q, nloc, s, read_w, r, bf):
     xs = x.reshape(nb, R, h, *rest)
     parts = [xs[:, i] for i in range(R)]
     for j in range(r):
-        hj = h << j
         step = 1 << j
+        tab = tuple(
+            a.reshape(nb, R, h, a.shape[-1]) for a in read_full(s + j)
+        )
         for i_u in range(R):
             if i_u & step:
                 continue
             i_v = i_u | step
-            g = i_u & (step - 1)
-            ws = read_w(hj + g * h, h)
+            ws = tuple(a[:, i_v] for a in tab)
             parts[i_u], parts[i_v] = bf(parts[i_u], parts[i_v], ws, q)
     return jnp.stack(parts, axis=1).reshape(nloc, *rest)
 
 
-def _ntt_net_invb(x, q, nloc, read_w, rlog=1, bf=_bf_ct_lazy_t):
+def _ntt_net_invb(x, q, nloc, read_full, rlog=1, bf=_bf_ct_lazy_f):
     """DIT-bitrev-input network along axis 0 (stages low->high)."""
     kloc = nloc.bit_length() - 1
     s = 0
     while s < kloc:
         r = min(rlog, kloc - s)
         if r == 1:
-            x = _invb_stage2(x, q, nloc, s, read_w, bf)
+            x = _invb_stage2(x, q, nloc, s, read_full, bf)
         else:
-            x = _invb_stage_r(x, q, nloc, s, read_w, r, bf)
+            x = _invb_stage_r(x, q, nloc, s, read_full, r, bf)
         s += r
     return x
 
@@ -356,30 +363,41 @@ def _table_mul(x, t, ts, q, lazy, final):
     return x
 
 
+def _widen(r, lanes):
+    """Concat-widen a (rows, W) slice to (rows, lanes) (see _kernel_cross:
+    no lane broadcast of loaded values)."""
+    if lanes > r.shape[-1]:
+        return jnp.concatenate([r] * (lanes // r.shape[-1]), axis=-1)
+    return r
+
+
+def _read_full_packed(w_ref, wsh_ref, nloc, lanes):
+    """Per-stage reader over packed (kloc*nloc, W) full tables; each
+    stage's slice is widened on use so only the live stage's table
+    occupies scoped VMEM."""
+
+    def read_full(j):
+        return (
+            _widen(w_ref[j * nloc : (j + 1) * nloc], lanes),
+            _widen(wsh_ref[j * nloc : (j + 1) * nloc], lanes),
+        )
+
+    return read_full
+
+
 def _kernel_block_invb(x_ref, w_ref, wsh_ref, t_ref, tsh_ref, o_ref, *, q,
                        tS, rlog, lazy, final):
     """Route-B inverse, block call: per-block DIT-bitrev-input DFT_tS
-    (block (1, tS, lanes), packed stage tables shared by every block),
-    then the per-block twist multiply (or, at S == 0, the final
+    (block (1, tS, lanes), packed full stage tables shared by every
+    block), then the per-block twist multiply (or, at S == 0, the final
     n^-1 psi^-j scale — same operand slot, final=True)."""
     x = x_ref[0]
     lanes = x.shape[-1]
-    w_full, wsh_full = (
-        jnp.concatenate([r[...]] * (lanes // r.shape[-1]), axis=-1)
-        if lanes > r.shape[-1] else r[...]
-        for r in (w_ref, wsh_ref)
-    )
-
-    def read_w(lo, m):
-        return w_full[lo : lo + m], wsh_full[lo : lo + m]
-
-    x = _ntt_net_invb(x, q, tS, read_w, rlog,
-                      _bf_ct_lazy_t if lazy else _bf_ct_exact_t)
-    t_full, tsh_full = (
-        jnp.concatenate([r[0]] * (lanes // r.shape[-1]), axis=-1)
-        if lanes > r.shape[-1] else r[0]
-        for r in (t_ref, tsh_ref)
-    )
+    read_full = _read_full_packed(w_ref[...], wsh_ref[...], tS, lanes)
+    x = _ntt_net_invb(x, q, tS, read_full, rlog,
+                      _bf_ct_lazy_f if lazy else _bf_ct_exact_f)
+    t_full = _widen(t_ref[0], lanes)
+    tsh_full = _widen(tsh_ref[0], lanes)
     o_ref[0] = _table_mul(x, t_full, tsh_full, q, lazy, final)
 
 
@@ -391,24 +409,12 @@ def _kernel_cross_invb(x_ref, w_ref, wsh_ref, t_ref, tsh_ref, o_ref, *, q,
     is the timing-only noscale knob (fold only)."""
     x = x_ref[...]
     lanes = x.shape[-1]
-    w_full, wsh_full = (
-        jnp.concatenate([r[...]] * (lanes // r.shape[-1]), axis=-1)
-        if lanes > r.shape[-1] else r[...]
-        for r in (w_ref, wsh_ref)
-    )
-
-    def read_w(lo, m):
-        return w_full[lo : lo + m], wsh_full[lo : lo + m]
-
-    x = _ntt_net_invb(x, q, P, read_w, rlog,
-                      _bf_ct_lazy_t if lazy else _bf_ct_exact_t)
+    read_full = _read_full_packed(w_ref[...], wsh_ref[...], P, lanes)
+    x = _ntt_net_invb(x, q, P, read_full, rlog,
+                      _bf_ct_lazy_f if lazy else _bf_ct_exact_f)
     if do_scale:
-        t_full, tsh_full = (
-            jnp.concatenate([r[...]] * (lanes // r.shape[-1]), axis=-1)
-            if lanes > r.shape[-1] else r[...]
-            for r in (t_ref, tsh_ref)
-        )
-        x = _table_mul(x, t_full, tsh_full, q, lazy, final=True)
+        x = _table_mul(x, _widen(t_ref[...], lanes),
+                       _widen(tsh_ref[...], lanes), q, lazy, final=True)
     elif lazy:
         qq = jnp.uint32(q)
         x = jnp.where(x >= jnp.uint32(2 * q), x - jnp.uint32(2 * q), x)
@@ -427,15 +433,21 @@ def _pow_seq(base: int, count: int, q: int, start: int = 1) -> np.ndarray:
 
 
 def _stage_table_bitrev(root_inv: int, nloc: int, q: int) -> np.ndarray:
-    """Packed DIT-bitrev-input twiddles: rows [h, 2h) hold
-    (root_inv^(nloc/2h))^t for t in [0, h); row 0 unused (=1).  Stage 0
-    (h=1) is the all-ones row — its lazy multiply doubles as a fold."""
-    T = np.ones(nloc, dtype=np.uint32)
-    h = 1
-    while h < nloc:
-        T[h : 2 * h] = _pow_seq(pow(root_inv, nloc // (2 * h), q), h, q)
-        h *= 2
-    return T
+    """FULL per-stage DIT-bitrev-input twiddles, packed (kloc*nloc,):
+    stage j's nloc rows hold (root_inv^(nloc/2h_j))^(row mod h_j) with
+    h_j = 2^j — i.e. the stage's twiddle as a per-row table, so kernels
+    slice it exactly like the data ((nb, R, h)[:, i_v]) with no
+    leading-axis broadcast (which Mosaic lowers ~3x slower and rejects
+    outright at window 512).  u-rows carry unused (well-defined) values.
+    Stage 0 is all-ones — the negacyclic phase lives in twist+scale."""
+    kloc = nloc.bit_length() - 1
+    T = np.empty((max(kloc, 1), nloc), dtype=np.uint32)
+    T[0] = 1
+    for j in range(kloc):
+        h = 1 << j
+        T[j] = np.tile(_pow_seq(pow(root_inv, nloc // (2 * h), q), h, q),
+                       nloc // h)
+    return np.ascontiguousarray(T.reshape(-1))
 
 
 def _invb_tables(plan: NTTPlan, S: int, tS: int):
@@ -605,8 +617,11 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
 
     if inverse and alg == "dit":
         # Route-B inverse (see _ntt_net_invb): CT-shaped stages + twist
-        # + per-row output scale; same compact-table discipline as GS.
+        # + per-row output scale.  Stage tables are FULL per-row tables
+        # (kloc*nloc rows per call — a few hundred at the shipping
+        # windows), sliced in-kernel exactly like the data.
         t_blk, t_cross, twist, sc = _invb_tables(plan, S, tS)
+        kb = max(tS.bit_length() - 1, 1)
         t_blk_sh = zq.shoup_np(t_blk, q)
         if S == 0:
             # single call: the post-table slot carries the final scale
@@ -629,9 +644,9 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
                 in_specs=[
                     pl.BlockSpec((1, tS, lanes), lambda b, j: (b, 0, j),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((tS, W), lambda b, j: (0, 0),
+                    pl.BlockSpec((kb * tS, W), lambda b, j: (0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((tS, W), lambda b, j: (0, 0),
+                    pl.BlockSpec((kb * tS, W), lambda b, j: (0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, tS, W), lambda b, j: (b, 0, 0),
                                  memory_space=pltpu.VMEM),
@@ -658,9 +673,9 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
                 in_specs=[
                     pl.BlockSpec((P, G, lanes), lambda i, j: (0, i, j),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((P, W), lambda i, j: (0, 0),
+                    pl.BlockSpec((S * P, W), lambda i, j: (0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((P, W), lambda i, j: (0, 0),
+                    pl.BlockSpec((S * P, W), lambda i, j: (0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((P, G, W), lambda i, j: (0, i, 0),
                                  memory_space=pltpu.VMEM),
@@ -679,8 +694,10 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
         @jax.jit
         def run_b(x):  # (n, B)
             B = x.shape[1]
-            wB = jnp.broadcast_to(jnp.asarray(t_blk)[:, None], (tS, W))
-            wBs = jnp.broadcast_to(jnp.asarray(t_blk_sh)[:, None], (tS, W))
+            wB = jnp.broadcast_to(jnp.asarray(t_blk)[:, None], (kb * tS, W))
+            wBs = jnp.broadcast_to(
+                jnp.asarray(t_blk_sh)[:, None], (kb * tS, W)
+            )
             tw = jnp.broadcast_to(
                 jnp.asarray(post_np)[:, :, None], (nblk, tS, W)
             )
@@ -689,9 +706,11 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
             )
             x = block_call_b(x.reshape(nblk, tS, B), wB, wBs, tw, tws)
             if S > 0:
-                wC = jnp.broadcast_to(jnp.asarray(t_cross)[:, None], (P, W))
+                wC = jnp.broadcast_to(
+                    jnp.asarray(t_cross)[:, None], (S * P, W)
+                )
                 wCs = jnp.broadcast_to(
-                    jnp.asarray(t_cross_sh)[:, None], (P, W)
+                    jnp.asarray(t_cross_sh)[:, None], (S * P, W)
                 )
                 scj = jnp.broadcast_to(
                     jnp.asarray(sc)[:, :, None], (P, tS, W)
@@ -823,21 +842,28 @@ def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
            scale: bool = True, alg: str | None = None):
     """Negacyclic NTT over axis 0 of a column-major (n, B) u32 array.
 
-    B must be a multiple of `lanes`.  Defaults tuned on v5e at n=4096,
-    B=8192: widest lane tile in {512, 256, 128} dividing B (fewer grid
-    steps, ~1.5x over 128); fused-stage radix 16 forward / 8 inverse
-    (same multiply count as radix-2, 1/r the reshape/stack relayout
-    passes; the GS inverse carries one extra live value per butterfly,
-    and r16 measured 0.86M vs r8's 1.04M at the r5 sweep — r8 stands).
-    Window defaults come from the r5 interleaved sweeps (DESIGN §10):
-    the GS INVERSE prefers the smallest compilable split at every ring
-    (smaller windows shrink each fused stage's live temporaries and
-    multiply grid parallelism; the remote compiler rejects cross calls
-    past P = 128) — 32 rows at n<=2048 (+61% over 512 at n=2048), 64
-    at n<=8192 (+28-46% at 4096, +32% at 8192), n/128 above (+6-23% at
-    n=2^14) — and the FORWARD prefers 64 rows for 2048<=n<=4096
-    (+21%/+12% at B=32k; +7% at B=1024) but 512 at n>=8192 (64 ties at
-    8192, loses at 2^14)."""
+    B must be a multiple of `lanes`.  Defaults tuned on v5e: widest
+    lane tile in {512, 256, 128} dividing B (fewer grid steps, ~1.5x
+    over 128).  Window defaults come from the r5 interleaved sweeps
+    (DESIGN §10): the GS INVERSE prefers the smallest compilable split
+    at every ring (smaller windows shrink each fused stage's live
+    temporaries and multiply grid parallelism; the remote compiler
+    rejects cross calls past P = 128) — 32 rows at n<=2048 (+61% over
+    512 at n=2048), 64 at n<=8192 (+28-46% at 4096, +32% at 8192),
+    n/128 above (+6-23% at n=2^14) — with fused-stage radix 8 (the GS
+    form degrades at r16 even at window 64: 1.11M vs 1.52M).  The
+    FORWARD prefers 64 rows WITH radix 32 for 2048<=n<=8192 (n=2048
+    4.83M vs r16's 4.56M; n=4096 2.51M vs 2.22M; n=8192 653k vs the
+    512-row 626k at B=1024 — the r3-era "radix-32 blows scoped VMEM"
+    was window-512-specific) and 512 rows / radix 16 outside (at 2^14,
+    128/r32 ties 512/r16; radix 64 and window 32 lose big).
+
+    alg: inverse route — "gs" (default, Gentleman-Sande) or "dit"
+    (route B, DESIGN §14: DIT-bitrev-input + twist + per-row scale).
+    Route B is a kept MEASURED NEGATIVE: with full per-stage tables it
+    compiles and runs everywhere the GS route does, but its extra
+    table traffic outweighs the CT-radix gains (n=4096: 1.41M vs GS
+    1.52M; n=2^14: 226k vs 244k) — kept A/B-able for future layouts."""
     n, B = x.shape
     if n != plan.n:
         raise ValueError(f"ntt_cm: x has n={n}, plan has n={plan.n}")
@@ -854,9 +880,12 @@ def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
                       64 if n <= 8192 else n // 128)
         else:
             # forward table; the route-B inverse is forward-shaped
-            window = 64 if 2048 <= n <= 4096 else WINDOW
+            window = 64 if 2048 <= n <= 8192 else WINDOW
     if radix is None:
-        radix = 8 if inverse and (alg or "gs") == "gs" else 16
+        if inverse and (alg or "gs") == "gs":
+            radix = 8
+        else:
+            radix = 32 if 2048 <= n <= 8192 else 16
     rlog = radix.bit_length() - 1
     if radix != 1 << rlog or rlog < 1:
         raise ValueError(f"ntt_cm: radix {radix} must be a power of 2 >= 2")
