@@ -852,11 +852,15 @@ def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
     512 at n=2048), 64 at n<=8192 (+28-46% at 4096, +32% at 8192),
     n/128 above (+6-23% at n=2^14) — with fused-stage radix 8 (the GS
     form degrades at r16 even at window 64: 1.11M vs 1.52M).  The
-    FORWARD prefers 64 rows WITH radix 32 for 2048<=n<=8192 (n=2048
-    4.83M vs r16's 4.56M; n=4096 2.51M vs 2.22M; n=8192 653k vs the
-    512-row 626k at B=1024 — the r3-era "radix-32 blows scoped VMEM"
-    was window-512-specific) and 512 rows / radix 16 outside (at 2^14,
-    128/r32 ties 512/r16; radix 64 and window 32 lose big).
+    FORWARD prefers 64 rows WITH radix 32 for 2048<=n<=4096 (n=2048
+    4.83M vs r16's 4.56M; n=4096 2.51M vs 2.22M — the r3-era
+    "radix-32 blows scoped VMEM" was window-512-specific) and 512
+    rows / radix 16 outside.  n=8192 standalone ALSO prefers 64/r32
+    (653k vs 626k at B=1024) but that combo crashes the remote compile
+    helper inside the tunnel's large fused program (standalone it
+    compiles fine), so the default stays 512/16 there — pass the knobs
+    explicitly for standalone use.  At 2^14, 128/r32 ties 512/r16;
+    radix 64 and window 32 lose big everywhere.
 
     alg: inverse route — "gs" (default, Gentleman-Sande) or "dit"
     (route B, DESIGN §14: DIT-bitrev-input + twist + per-row scale).
@@ -880,12 +884,12 @@ def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
                       64 if n <= 8192 else n // 128)
         else:
             # forward table; the route-B inverse is forward-shaped
-            window = 64 if 2048 <= n <= 8192 else WINDOW
+            window = 64 if 2048 <= n <= 4096 else WINDOW
     if radix is None:
         if inverse and (alg or "gs") == "gs":
             radix = 8
         else:
-            radix = 32 if 2048 <= n <= 8192 else 16
+            radix = 32 if 2048 <= n <= 4096 else 16
     rlog = radix.bit_length() - 1
     if radix != 1 << rlog or rlog < 1:
         raise ValueError(f"ntt_cm: radix {radix} must be a power of 2 >= 2")
