@@ -856,11 +856,13 @@ def ntt_cm(x, plan: NTTPlan, inverse: bool = False, lanes: int | None = None,
     4.83M vs r16's 4.56M; n=4096 2.51M vs 2.22M — the r3-era
     "radix-32 blows scoped VMEM" was window-512-specific) and 512
     rows / radix 16 outside.  n=8192 standalone ALSO prefers 64/r32
-    (653k vs 626k at B=1024) but that combo crashes the remote compile
-    helper inside the tunnel's large fused program (standalone it
-    compiles fine), so the default stays 512/16 there — pass the knobs
-    explicitly for standalone use.  At 2^14, 128/r32 ties 512/r16;
-    radix 64 and window 32 lose big everywhere.
+    (653k vs 626k at B=1024) but with the pre_digit_q prologue fused
+    the r32 stack goes over the 16MB scoped-VMEM limit (the remote
+    helper reports it as an opaque HTTP 500; forcing 128/r32 digits at
+    n=2^14 shows the real error: "scoped allocation 18.00M > 16.00M"),
+    so the default stays 512/16 there — pass the knobs explicitly for
+    standalone use.  At 2^14, 128/r32 ties 512/r16; radix 64 and
+    window 32 lose big everywhere.
 
     alg: inverse route — "gs" (default, Gentleman-Sande) or "dit"
     (route B, DESIGN §14: DIT-bitrev-input + twist + per-row scale).
