@@ -195,18 +195,39 @@ def _ntt_net_fwd(x, q, nloc, read_w, rlog=1, bf=_bf_fwd_exact):
     return x
 
 
-def _inv_stage2(x, q, nloc, s, read_w, bf=_bf_inv_exact):
+def _bf_inv_lazy_final(u, v, q, fs):
+    """Global stage 0 of the GS inverse with the 1/n scale FOLDED in
+    (lazy path): u' = (u+v)*ninv, v' = (u-v)*(w0*ninv), both via one
+    lazy Shoup multiply each (any-u32 inputs: u+v and u+(2q-v) < 4q).
+    Replaces stage-0's half-multiply + the separate full-array scale
+    pass + its fold — net ~0.5 fewer multiplies per element.  fs =
+    (ninv, ninv_hi, ninv_lo, w0s, w0s_hi, w0s_lo) scalar u32s, where
+    w0s = ipsi_rev[1]*ninv mod q.  Outputs in [0, 2q)."""
+    ninv, ninv_hi, ninv_lo, w0s, w0s_hi, w0s_lo = fs
+    q2 = jnp.uint32(2 * q)
+    s = zq.mul_shoup_lazy(u + v, ninv, ninv_hi, ninv_lo, q)
+    d = zq.mul_shoup_lazy(u + (q2 - v), w0s, w0s_hi, w0s_lo, q)
+    return s, d
+
+
+def _inv_stage2(x, q, nloc, s, read_w, bf=_bf_inv_exact, final_scale=None):
     h = 1 << s
     rest = x.shape[1:]
-    ws = read_w(h, h)
     xs = x.reshape(h, 2, nloc >> (s + 1), *rest)
-    nu, nv = bf(xs[:, 0], xs[:, 1], ws, q)
+    if s == 0 and final_scale is not None:
+        nu, nv = _bf_inv_lazy_final(xs[:, 0], xs[:, 1], q, final_scale)
+    else:
+        ws = read_w(h, h)
+        nu, nv = bf(xs[:, 0], xs[:, 1], ws, q)
     return jnp.stack([nu, nv], axis=1).reshape(nloc, *rest)
 
 
-def _inv_stage_r(x, q, nloc, s, read_w, r, bf=_bf_inv_exact):
+def _inv_stage_r(x, q, nloc, s, read_w, r, bf=_bf_inv_exact,
+                 final_scale=None):
     """r fused GS inverse stages covering global stages s+r-1 .. s (one
-    relayout pass; mirror of _fwd_stage_r)."""
+    relayout pass; mirror of _fwd_stage_r).  final_scale folds the 1/n
+    scale into global stage 0's butterflies (only reachable at s == 0,
+    inner j == 0)."""
     h = 1 << s
     R = 1 << r
     t = nloc >> (s + r)
@@ -214,28 +235,40 @@ def _inv_stage_r(x, q, nloc, s, read_w, r, bf=_bf_inv_exact):
     xs = x.reshape(h, R, t, *rest)
     parts = [xs[:, i] for i in range(R)]
     for j in range(r - 1, -1, -1):
-        wsj = [a.reshape(h, 1 << j, -1) for a in read_w(h << j, h << j)]
+        fold = s == 0 and j == 0 and final_scale is not None
+        wsj = None if fold else [
+            a.reshape(h, 1 << j, -1) for a in read_w(h << j, h << j)
+        ]
         step = 1 << (r - 1 - j)
         for i_u in range(R):
             if i_u & step:
                 continue
             i_v = i_u | step
-            g_inner = i_u >> (r - j)
-            ws = [a[:, g_inner] for a in wsj]
-            parts[i_u], parts[i_v] = bf(parts[i_u], parts[i_v], ws, q)
+            if fold:
+                parts[i_u], parts[i_v] = _bf_inv_lazy_final(
+                    parts[i_u], parts[i_v], q, final_scale
+                )
+            else:
+                g_inner = i_u >> (r - j)
+                ws = [a[:, g_inner] for a in wsj]
+                parts[i_u], parts[i_v] = bf(parts[i_u], parts[i_v], ws, q)
     return jnp.stack(parts, axis=1).reshape(nloc, *rest)
 
 
-def _ntt_net_inv(x, q, nloc, read_w, rlog=1, bf=_bf_inv_exact):
-    """GS inverse network along axis 0; stages high->low; no 1/n scale."""
+def _ntt_net_inv(x, q, nloc, read_w, rlog=1, bf=_bf_inv_exact,
+                 final_scale=None):
+    """GS inverse network along axis 0; stages high->low.  Without
+    final_scale the 1/n scale is NOT applied (caller's _scale_reduce);
+    with it (lazy path only) the scale rides stage 0's butterflies and
+    outputs land in [0, 2q) — caller folds once to [0, q)."""
     kloc = nloc.bit_length() - 1
     s = kloc
     while s > 0:
         r = min(rlog, s)
         if r == 1:
-            x = _inv_stage2(x, q, nloc, s - 1, read_w, bf)
+            x = _inv_stage2(x, q, nloc, s - 1, read_w, bf, final_scale)
         else:
-            x = _inv_stage_r(x, q, nloc, s - r, read_w, r, bf)
+            x = _inv_stage_r(x, q, nloc, s - r, read_w, r, bf, final_scale)
         s -= r
     return x
 
@@ -493,8 +526,18 @@ def _redigit(x, q_src, q):
     return jnp.where(hi, zq.sub_mod(r, jnp.uint32(q_src % q), q), r)
 
 
+def _fs_scalars(q, n_inv, n_inv_sh, w0s, w0s_sh):
+    """jnp scalar pack for _bf_inv_lazy_final from builder-host ints."""
+    return (
+        jnp.uint32(n_inv), jnp.uint32(n_inv_sh >> 16),
+        jnp.uint32(n_inv_sh & 0xFFFF),
+        jnp.uint32(w0s), jnp.uint32(w0s_sh >> 16),
+        jnp.uint32(w0s_sh & 0xFFFF),
+    )
+
+
 def _kernel_cross(x_ref, w_ref, wsh_ref, o_ref, *, q, P, inverse, n_inv,
-                  n_inv_sh, rlog=1, lazy=False, pre_q=None):
+                  n_inv_sh, rlog=1, lazy=False, pre_q=None, fold_w0=None):
     """Cross-block stages: block (P, G, lanes), NTT along axis 0.  The
     first S global stages use group indices < P, so the twiddle tables
     are just the plain DIT prefix psi_rev[:P].
@@ -530,9 +573,14 @@ def _kernel_cross(x_ref, w_ref, wsh_ref, o_ref, *, q, P, inverse, n_inv,
         return w_full[lo : lo + m], wsh_full[lo : lo + m]
 
     if inverse:
+        fold = lazy and n_inv is not None and fold_w0 is not None
+        fs = _fs_scalars(q, n_inv, n_inv_sh, *fold_w0) if fold else None
         x = _ntt_net_inv(x, q, P, read_w, rlog,
-                         _bf_inv_lazy if lazy else _bf_inv_exact)
-        if n_inv is not None:
+                         _bf_inv_lazy if lazy else _bf_inv_exact,
+                         final_scale=fs)
+        if fold:  # scale rode stage 0; fold [0, 2q) -> [0, q)
+            x = jnp.where(x >= jnp.uint32(q), x - jnp.uint32(q), x)
+        elif n_inv is not None:
             x = _scale_reduce(x, q, n_inv, n_inv_sh, lazy)
         elif lazy:  # timing-only noscale knob: final fold, no multiply
             x = jnp.where(x >= jnp.uint32(q), x - jnp.uint32(q), x)
@@ -543,7 +591,7 @@ def _kernel_cross(x_ref, w_ref, wsh_ref, o_ref, *, q, P, inverse, n_inv,
 
 
 def _kernel_block(x_ref, w_ref, wsh_ref, o_ref, *, q, tS, inverse, n_inv,
-                  n_inv_sh, rlog=1, lazy=False, pre_q=None):
+                  n_inv_sh, rlog=1, lazy=False, pre_q=None, fold_w0=None):
     """Within-block stages: block (1, tS, lanes), NTT along axis 1 with
     this block's private twiddle table.
 
@@ -567,9 +615,14 @@ def _kernel_block(x_ref, w_ref, wsh_ref, o_ref, *, q, tS, inverse, n_inv,
         return w_full[lo : lo + m], wsh_full[lo : lo + m]
 
     if inverse:
+        fold = lazy and n_inv is not None and fold_w0 is not None
+        fs = _fs_scalars(q, n_inv, n_inv_sh, *fold_w0) if fold else None
         x = _ntt_net_inv(x, q, tS, read_w, rlog,
-                         _bf_inv_lazy if lazy else _bf_inv_exact)
-        if n_inv is not None:
+                         _bf_inv_lazy if lazy else _bf_inv_exact,
+                         final_scale=fs)
+        if fold:
+            x = jnp.where(x >= jnp.uint32(q), x - jnp.uint32(q), x)
+        elif n_inv is not None:
             x = _scale_reduce(x, q, n_inv, n_inv_sh, lazy)
     else:
         x = _ntt_net_fwd(x, q, tS, read_w, rlog,
@@ -741,6 +794,13 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
     # jit trace (she_batched's fused step).
     wA_np = np.ascontiguousarray(src[:P])
     wAs_np = np.ascontiguousarray(src_sh[:P])
+    # GS lazy path: fold the 1/n scale into stage 0's butterflies
+    # (u-leg *ninv, v-leg twiddle pre-scaled) — drops the separate
+    # full-array scale pass (_bf_inv_lazy_final)
+    fold_w0 = None
+    if inverse and lazy and scale:
+        w0s = int(src[1]) * plan.n_inv % q
+        fold_w0 = (w0s, zq.shoup(w0s, q))
     TB = _block_twiddles(plan, inverse, S, tS)
     TBs_np = np.array(
         [[zq.shoup(int(w), q) for w in row] for row in TB], dtype=np.uint32
@@ -755,7 +815,7 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
             _kernel_cross, q=q, P=P, inverse=inverse,
             n_inv=plan.n_inv if scale else None,
             n_inv_sh=plan.n_inv_sh if scale else None, rlog=rlog, lazy=lazy,
-            pre_q=pre_q,
+            pre_q=pre_q, fold_w0=fold_w0,
         )
         return pl.pallas_call(
             kern,
@@ -786,6 +846,7 @@ def _build(plan: NTTPlan, inverse: bool, lanes: int, interpret: bool,
             n_inv_sh=plan.n_inv_sh if (scale_in_block and scale) else None,
             rlog=rlog,
             lazy=lazy, pre_q=pre_q if scale_in_block else None,
+            fold_w0=fold_w0,
         )
         return pl.pallas_call(
             kern,
